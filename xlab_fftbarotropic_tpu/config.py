@@ -1,0 +1,165 @@
+"""Model configuration.
+
+TPU-native re-design of the reference's compile-time configuration header
+(/root/reference/src/configuration.hpp:10-41). The reference bakes every
+physics/grid/time constant into the binary (a rebuild is required to change
+the grid size); here the configuration is a frozen dataclass whose fields are
+*static* from XLA's point of view — a jitted step function specializes on the
+grid shape once per distinct configuration, which preserves the
+static-shapes-only compilation contract while letting users change N from the
+CLI.
+
+Defaults reproduce configuration.hpp exactly:
+  rho=1, f=1e-5, L=600 km, nu=6.5 m^2/s, N=768, dt=3 s,
+  record_step=100, total_steps=3600/3=1200,
+  input/output dirs and initial file names (configuration.hpp:39-41).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static configuration for the barotropic / shallow-water solvers.
+
+    Mirrors /root/reference/src/configuration.hpp:10-41 field-for-field, plus
+    runtime knobs the reference hard-codes or lacks (dealias rule selection,
+    precision, checkpointing cadence).
+    """
+
+    # --- physics (configuration.hpp:10-17) ---
+    rho: float = 1.0            # density [kg/m^3]
+    f: float = 1e-5             # Coriolis parameter [1/s]
+    nu: float = 6.5             # Laplacian viscosity [m^2/s]
+
+    # --- domain (configuration.hpp:13-16) ---
+    lx: float = 600_000.0       # domain length in x [m]
+    ly: float = 600_000.0       # domain length in y [m]
+
+    # --- grid (configuration.hpp:18-21) ---
+    nx: int = 768
+    ny: int = 768
+
+    # --- time stepping (configuration.hpp:34-36) ---
+    dt: float = 3.0             # [s]
+    record_step: int = 100      # record cadence in steps
+    total_steps: int = 1200     # default run length (= 1 h at dt=3 s)
+
+    # --- paths (configuration.hpp:39-41) ---
+    input_dir: str = "input"
+    output_dir: str = "output"
+    init_file: str = "initial_vorticity.bin"
+
+    # --- new framework knobs (no reference equivalent) ---
+    # 'circular' replicates the reference's mask (fftwfop.cpp:56-68):
+    #   kill modes with i^2+j^2 >= ceil(nx/3)^2 + ceil(ny/3)^2.
+    # 'twothirds' is the textbook tensor-product 2/3 rule.
+    dealias_rule: str = "circular"
+    # shallow-water only: mean fluid depth [m] and gravity [m/s^2]
+    gravity: float = 9.81
+    mean_depth: float = 1000.0
+    # checkpoint cadence in steps; 0 disables
+    checkpoint_step: int = 0
+
+    # ----- derived quantities -----
+    @property
+    def dx(self) -> float:
+        return self.lx / self.nx
+
+    @property
+    def dy(self) -> float:
+        return self.ly / self.ny
+
+    @property
+    def grids(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def half_ny(self) -> int:
+        """r2c half-spectrum extent of the (contiguous) y axis.
+
+        Matches HALF_YPTS = ny/2 + 1 (configuration.hpp:28). The physical
+        layout is x-major / y-contiguous (IDX(i,j) = ny*i + j,
+        configuration.hpp:31) so the rfft2 half axis is the last axis.
+        """
+        return self.ny // 2 + 1
+
+    @property
+    def spectral_shape(self) -> Tuple[int, int]:
+        return (self.nx, self.half_ny)
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        return (self.nx, self.ny)
+
+    @property
+    def dealias_kx(self) -> int:
+        """Dealias cutoff wavenumber in x: ceil(nx/3) (fftwfop.cpp:11)."""
+        return int(math.ceil(self.nx / 3.0))
+
+    @property
+    def dealias_ky(self) -> int:
+        """Dealias cutoff wavenumber in y: ceil(ny/3) (fftwfop.cpp:12)."""
+        return int(math.ceil(self.ny / 3.0))
+
+    def coords(self):
+        """Physical grid coordinates x[i]=i*dx, y[j]=j*dy (periodic, no
+        endpoint duplication; makefield-gaussian.cpp:15,26-28)."""
+        x = np.arange(self.nx, dtype=np.float32) * np.float32(self.dx)
+        y = np.arange(self.ny, dtype=np.float32) * np.float32(self.dy)
+        return x, y
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ----- (de)serialization for checkpoints / CLI -----
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModelConfig":
+        return cls(**json.loads(s))
+
+    def config_hash(self) -> str:
+        """Stable hash used to stamp checkpoints for restart validation."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+def add_config_args(parser, defaults: Optional[ModelConfig] = None):
+    """Register ModelConfig fields on an argparse parser.
+
+    Replaces the reference's recompile-to-change-N workflow and its getopt
+    flags -I/-O/-i (main.cpp:68-80) with a uniform CLI.
+    """
+    d = defaults or ModelConfig()
+    parser.add_argument("-I", "--input-dir", default=d.input_dir)
+    parser.add_argument("-O", "--output-dir", default=d.output_dir)
+    parser.add_argument("-i", "--init-file", default=d.init_file)
+    parser.add_argument("--nx", type=int, default=d.nx)
+    parser.add_argument("--ny", type=int, default=d.ny)
+    parser.add_argument("--lx", type=float, default=d.lx)
+    parser.add_argument("--ly", type=float, default=d.ly)
+    parser.add_argument("--dt", type=float, default=d.dt)
+    parser.add_argument("--nu", type=float, default=d.nu)
+    parser.add_argument("--coriolis-f", type=float, default=d.f, dest="f")
+    parser.add_argument("--rho", type=float, default=d.rho)
+    parser.add_argument("--total-steps", type=int, default=d.total_steps)
+    parser.add_argument("--record-step", type=int, default=d.record_step)
+    parser.add_argument("--checkpoint-step", type=int, default=d.checkpoint_step)
+    parser.add_argument("--dealias-rule", choices=["circular", "twothirds"],
+                        default=d.dealias_rule)
+    return parser
+
+
+def config_from_args(args) -> ModelConfig:
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    return ModelConfig(**kw)
