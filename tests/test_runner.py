@@ -1,0 +1,167 @@
+"""End-to-end runner tests: record contract, manifest, forcing, resume.
+
+These are the automated analogue of the reference's shell-driven example
+pipelines (test/01-runtest/example.sh, test/02-test_invert_pressure/
+example.sh) — the reference's only 'tests' (SURVEY.md §4).
+"""
+
+import os
+import threading
+
+import numpy as np
+
+from xlab_fftbarotropic_tpu.config import ModelConfig
+from xlab_fftbarotropic_tpu.forcing import source as fsrc
+from xlab_fftbarotropic_tpu.ic import makefields
+from xlab_fftbarotropic_tpu.io.fieldio import read_field, write_field
+from xlab_fftbarotropic_tpu.runner import run
+
+
+def make_cfg(tmp_path, **kw):
+    base = dict(nx=32, ny=32, dt=3.0, record_step=5, total_steps=10,
+                input_dir=str(tmp_path / "input"),
+                output_dir=str(tmp_path / "output"))
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+class TestRunContract:
+    def test_records_and_manifest(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        vort0 = makefields.gaussian(cfg)
+        res = run(cfg, vort0, manifest_path=str(tmp_path / "log"))
+        assert res.steps_run == 10
+        out = tmp_path / "output"
+        # record steps 0 and 5, each with the 5-file contract (SURVEY.md §5.9)
+        for step in (0, 5):
+            for name in ("vort_src_input", "vort", "psi", "u", "v"):
+                assert (out / f"{name}_step_{step}.bin").exists(), (name, step)
+        lines = (tmp_path / "log").read_text().splitlines()
+        assert len(lines) == 10
+        # recorded vorticity at step 0 equals roundtripped IC
+        v0 = read_field(out / "vort_step_0.bin", cfg.grid_shape)
+        np.testing.assert_allclose(v0, vort0, atol=2e-8)
+        # stats were collected at record points
+        assert [s["step"] for s in res.stats_history] == [0, 5]
+
+    def test_init_from_file_like_reference(self, tmp_path):
+        """vort0=None reads input_dir/init_file (main.cpp:143-144)."""
+        cfg = make_cfg(tmp_path)
+        os.makedirs(cfg.input_dir)
+        vort0 = makefields.kuo2004(cfg)
+        write_field(os.path.join(cfg.input_dir, cfg.init_file), vort0)
+        res = run(cfg, manifest_path=str(tmp_path / "log"))
+        assert res.steps_run == 10
+
+    def test_norecord_run(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        res = run(cfg, makefields.gaussian(cfg), record=False)
+        assert res.steps_run == 10
+        assert not os.path.exists(cfg.output_dir)
+
+
+class TestSegmentEquivalence:
+    def test_segmented_equals_stepwise(self, tmp_path):
+        """The scanned hot path must equal per-step stepping exactly
+        (same jitted step function, same order of operations)."""
+        from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+        cfg = make_cfg(tmp_path, total_steps=8)
+        vort0 = makefields.gaussian(cfg)
+        model = BarotropicModel.build(cfg)
+        z_seg = model.segment(model.init_state(vort0), model.zero_source(), 8)
+        z_step = model.init_state(vort0)
+        for _ in range(8):
+            z_step = model.step(z_step, model.zero_source())
+        np.testing.assert_allclose(np.asarray(z_seg), np.asarray(z_step),
+                                   rtol=2e-4, atol=1e-6)
+
+
+class TestForcedRuns:
+    def test_fifo_run_pipeline(self, tmp_path):
+        """Full producer->FIFO->model pipeline, the analogue of
+        test/02-test_invert_pressure/example.sh:10-13."""
+        cfg = make_cfg(tmp_path, total_steps=8, record_step=4)
+        vort0 = makefields.gaussian(cfg)
+        fifo = tmp_path / "vort_src_fifo"
+        os.mkfifo(fifo)
+        src_field = makefields.cake_kuo2004(
+            cfg, cfg.lx / 2, cfg.ly / 2, 1e-6, 60_000.0)
+
+        def producer():
+            with open(fifo, "wb") as w:
+                for step in range(cfg.total_steps):
+                    fsrc.write_step(w, src_field if step == 2 else None)
+
+        th = threading.Thread(target=producer)
+        th.start()
+        res = run(cfg, vort0, recipe="fifo", src_path=str(fifo),
+                  manifest_path=str(tmp_path / "log"))
+        th.join()
+        assert res.steps_run == 8
+        # source active from step 2 on -> recorded at step 4
+        rec = read_field(tmp_path / "output" / "vort_src_input_step_4.bin",
+                         cfg.grid_shape)
+        np.testing.assert_array_equal(rec, src_field)
+
+    def test_fifo_equals_constant_source_run(self, tmp_path):
+        """FIFO delivering S at t=0 must reproduce a constant-source run."""
+        cfg = make_cfg(tmp_path, total_steps=6)
+        vort0 = makefields.gaussian(cfg)
+        src_field = (0.1 * makefields.gaussian(cfg)).astype(np.float32)
+        fifo = tmp_path / "fifo"
+        os.mkfifo(fifo)
+
+        def producer():
+            with open(fifo, "wb") as w:
+                fsrc.write_step(w, src_field)
+                for _ in range(cfg.total_steps - 1):
+                    fsrc.write_step(w, None)
+
+        th = threading.Thread(target=producer)
+        th.start()
+        res_fifo = run(cfg, vort0, recipe="fifo", src_path=str(fifo),
+                       record=False)
+        th.join()
+
+        from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+        import jax.numpy as jnp
+        model = BarotropicModel.build(cfg)
+        z = model.segment(model.init_state(vort0), jnp.asarray(src_field), 6)
+        np.testing.assert_allclose(np.asarray(res_fifo.zeta_hat),
+                                   np.asarray(z), rtol=2e-4, atol=1e-6)
+
+    def test_script_run(self, tmp_path):
+        """SCRIPT forcing fires at its recipe time mid-run."""
+        cfg = make_cfg(tmp_path, total_steps=10, record_step=5)
+        vort0 = makefields.gaussian(cfg)
+        src_field = (0.1 * makefields.gaussian(cfg)).astype(np.float32)
+        write_field(tmp_path / "s.bin", src_field)
+        script = tmp_path / "recipe.txt"
+        # fires at t=9s -> step 3
+        script.write_text(f"9.0 {tmp_path}/s.bin\n")
+        res = run(cfg, vort0, recipe="script", src_path=str(script),
+                  manifest_path=str(tmp_path / "log"))
+        assert res.steps_run == 10
+        rec = read_field(tmp_path / "output" / "vort_src_input_step_5.bin",
+                         cfg.grid_shape)
+        np.testing.assert_array_equal(rec, src_field)
+        rec0 = read_field(tmp_path / "output" / "vort_src_input_step_0.bin",
+                          cfg.grid_shape)
+        assert np.all(rec0 == 0)
+
+
+class TestResume:
+    def test_checkpoint_resume_is_deterministic(self, tmp_path):
+        cfg = make_cfg(tmp_path, total_steps=10, checkpoint_step=5,
+                       record_step=100)
+        vort0 = makefields.gaussian(cfg)
+        res_full = run(cfg, vort0, record=False,
+                       manifest_path=str(tmp_path / "log"))
+        # the no-record run skips field output but checkpoints land in output_dir
+        ck = os.path.join(cfg.output_dir, "ckpt_step_5.npz")
+        assert os.path.exists(ck)
+        res_resumed = run(cfg, record=False, resume_from=ck,
+                          manifest_path=str(tmp_path / "log2"))
+        assert res_resumed.steps_run == 5
+        np.testing.assert_array_equal(np.asarray(res_full.zeta_hat),
+                                      np.asarray(res_resumed.zeta_hat))

@@ -1,0 +1,73 @@
+"""`xfb-run` — the model driver binary.
+
+Merges the reference's main.out (main.cpp:65-80, flags -I/-O/-i) and
+main-shallow-water.out (main-shallow-water.cpp:75-95, adds -s script /
+-f fifo forcing), plus the grid/physics flags the reference bakes in at
+compile time and new checkpoint/restart plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    from ..config import add_config_args, config_from_args
+
+    p = argparse.ArgumentParser(
+        prog="xfb-run",
+        description="Barotropic vorticity model run (TPU-native)")
+    add_config_args(p)
+    p.add_argument("-s", "--script", default=None, metavar="RECIPE",
+                   help="vorticity-source script file "
+                        "(lines: '<time> <field.bin>')")
+    p.add_argument("-f", "--fifo", default=None, metavar="FIFO",
+                   help="vorticity-source FIFO (per-step flag-byte protocol)")
+    p.add_argument("--resume-from", default=None,
+                   help="checkpoint .npz to resume from")
+    p.add_argument("--no-record", action="store_true",
+                   help="skip field records (benchmarking)")
+    p.add_argument("--manifest", default="log",
+                   help="manifest path (the reference's `log` file)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = config_from_args(args)
+    recipe, src_path = "empty", None
+    if args.script and args.fifo:
+        p.error("give at most one of -s / -f")
+    if args.script:
+        recipe, src_path = "script", args.script
+    if args.fifo:
+        recipe, src_path = "fifo", args.fifo
+
+    print("##### Model setting #####", file=sys.stderr)
+    print(f"Initial file          : {cfg.init_file}", file=sys.stderr)
+    print(f"Input folder          : {cfg.input_dir}", file=sys.stderr)
+    print(f"Output folder         : {cfg.output_dir}", file=sys.stderr)
+    print(f"Grid                  : {cfg.nx} x {cfg.ny}", file=sys.stderr)
+    print(f"Length X              : {cfg.lx:.3f} [m]", file=sys.stderr)
+    print(f"Length Y              : {cfg.ly:.3f} [m]", file=sys.stderr)
+    print(f"Time Resolution dt    : {cfg.dt:.3f} [s]", file=sys.stderr)
+    print(f"Steps                 : {cfg.total_steps}", file=sys.stderr)
+    print("#########################", file=sys.stderr)
+
+    from ..runner import run
+    result = run(cfg, recipe=recipe, src_path=src_path,
+                 record=not args.no_record, manifest_path=args.manifest,
+                 progress=True, resume_from=args.resume_from)
+    sps = result.steps_run / max(result.wall_time, 1e-9)
+    gpps = sps * cfg.grids
+    print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "
+          f"({sps:.1f} steps/s, {gpps:.3e} grid-points/s)", file=sys.stderr)
+    print("Program ends. Congrats!", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
