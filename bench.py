@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+North-star metric (BASELINE.md): grid-points/s/chip for a full RK4 step
+(20 FFTs + spectral pointwise work) at 4096^2. The reference publishes no
+numbers (SURVEY.md §7), so `vs_baseline` is measured against this repo's
+own CPU oracle (oracle/reference_cpu.py) — a line-for-line float32
+numpy re-implementation of the serial reference pipeline — extrapolated
+from a smaller grid (serial N^2 log N scaling), standing in for the
+single-threaded FFTW3f reference binary which cannot be built here
+(no FFTW; SURVEY.md Phase 0 note).
+
+Usage: python bench.py [--nx N] [--steps S] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def measure_tpu(nx: int, steps: int) -> float:
+    """Wall-clock a `steps`-long jitted scan segment; returns grid-points/s
+    (one chip). Compile excluded; device-synchronized timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+
+    cfg = ModelConfig(nx=nx, ny=nx)
+    model = BarotropicModel.build(cfg)
+    z = model.init_state(makefields.gaussian(cfg))
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+
+    z_w = model.segment(z, src, steps)          # compile + warm-up
+    jax.block_until_ready(z_w)
+
+    t0 = time.perf_counter()
+    z_t = model.segment(z, src, steps)
+    jax.block_until_ready(z_t)
+    dt = time.perf_counter() - t0
+    return nx * nx * steps / dt
+
+
+def measure_oracle(nx: int, steps: int) -> float:
+    """CPU-oracle (stand-in for the serial C++/FFTW reference) gp/s."""
+    import numpy as np
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.oracle import reference_cpu as oracle
+
+    cfg = ModelConfig(nx=nx, ny=nx)
+    vort0 = makefields.gaussian(cfg)
+    model = oracle.OracleBarotropic(cfg)
+    t0 = time.perf_counter()
+    model.run(vort0, steps)
+    dt = time.perf_counter() - t0
+    return nx * nx * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--oracle-nx", type=int, default=256)
+    ap.add_argument("--oracle-steps", type=int, default=10)
+    ap.add_argument("--quick", action="store_true",
+                    help="small grid for smoke runs")
+    args = ap.parse_args()
+    if args.quick:
+        args.nx, args.steps = 512, 10
+
+    gps = measure_tpu(args.nx, args.steps)
+    try:
+        base = measure_oracle(args.oracle_nx, args.oracle_steps)
+    except Exception as e:  # oracle failure must not kill the bench
+        print(f"# oracle baseline failed: {e}", file=sys.stderr)
+        base = None
+
+    out = {
+        "metric": f"rk4_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
+        "value": round(gps, 1),
+        "unit": "grid-points/s/chip",
+        "vs_baseline": round(gps / base, 2) if base else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

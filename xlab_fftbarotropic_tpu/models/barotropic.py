@@ -41,33 +41,42 @@ class DiagFields(NamedTuple):
 
 
 def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
-             nu: float, grid_shape: Tuple[int, int]) -> jax.Array:
+             nu: float, grid_shape: Tuple[int, int],
+             fwd: Callable = fft.forward,
+             inv: Callable = fft.inverse) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
     (-u*zeta_x - v*zeta_y + S, main.cpp:225-227) is a single fused VPU
     expression XLA merges into the surrounding transforms.
+
+    `fwd`/`inv` are the FFT pair — the single-device jnp.fft wrappers by
+    default, or the shard_map-local distributed transforms from
+    parallel/dfft.py when called inside a sharded step.
     """
     lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
-    dvdx = fft.inverse(sp.gradx(t, zeta_hat), grid_shape)   # main.cpp:151-154
-    dvdy = fft.inverse(sp.grady(t, zeta_hat), grid_shape)   # main.cpp:165-168
+    dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)    # main.cpp:151-154
+    dvdy = inv(sp.grady(t, zeta_hat), grid_shape)    # main.cpp:165-168
     psi_hat = sp.invert_laplacian(t, zeta_hat)       # main.cpp:179
-    u = -fft.inverse(sp.grady(t, psi_hat), grid_shape)      # main.cpp:198-201
-    v = fft.inverse(sp.gradx(t, psi_hat), grid_shape)       # main.cpp:212-214
+    u = -inv(sp.grady(t, psi_hat), grid_shape)       # main.cpp:198-201
+    v = inv(sp.gradx(t, psi_hat), grid_shape)        # main.cpp:212-214
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
-    dvortdt_hat = fft.forward(dvortdt)               # main.cpp:237
+    dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
     return dvortdt_hat + lvort_hat * nu              # main.cpp:240-243
 
 
 def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
-             dt: float, nu: float, grid_shape: Tuple[int, int]) -> jax.Array:
+             dt: float, nu: float, grid_shape: Tuple[int, int],
+             fwd: Callable = fft.forward,
+             inv: Callable = fft.inverse) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
     forcing src is held fixed across the 4 stages, refreshed at most once per
     step by the caller (main-shallow-water.cpp:304).
     """
-    d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape)
+    d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
+                          fwd=fwd, inv=inv)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
@@ -76,16 +85,17 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
 
 
 def diag_fields(t: SpectralTables, zeta_hat: jax.Array,
-                grid_shape: Tuple[int, int]) -> DiagFields:
+                grid_shape: Tuple[int, int],
+                inv: Callable = fft.inverse) -> DiagFields:
     """Step-start physical fields: the record block (main.cpp:266-282) plus
     the first RK stage's psi/u/v dumps (main.cpp:181-222)."""
     psi_hat = sp.invert_laplacian(t, zeta_hat)
     u_hat, v_hat = sp.velocities(t, psi_hat)
     return DiagFields(
-        vort=fft.inverse(zeta_hat, grid_shape),
-        psi=fft.inverse(psi_hat, grid_shape),
-        u=fft.inverse(u_hat, grid_shape),
-        v=fft.inverse(v_hat, grid_shape),
+        vort=inv(zeta_hat, grid_shape),
+        psi=inv(psi_hat, grid_shape),
+        u=inv(u_hat, grid_shape),
+        v=inv(v_hat, grid_shape),
     )
 
 

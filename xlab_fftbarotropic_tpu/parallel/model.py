@@ -1,0 +1,151 @@
+"""Sharded barotropic model — the multi-chip training/stepping path.
+
+The reference is strictly serial (SURVEY.md §2 "zero parallelism of any
+kind"); this module is the new first-class distributed component mandated by
+BASELINE.json: the full RK4 step runs under `shard_map` over a 1-D device
+mesh with the grid slab-decomposed by x rows, FFTs from parallel/dfft.py
+(all_to_all transposes over ICI), and every spectral pointwise operator
+acting on its local row slice of the coefficient tables. The whole
+`record_step`-long segment is one jitted lax.scan inside the shard_map, so
+a multi-chip run round-trips to Python only at record points — identical
+cadence to the single-chip runner.
+
+Usage:
+    mesh = make_mesh(jax.devices())
+    m = ShardedBarotropicModel.build(cfg, mesh)
+    z = m.shard_spectral(model_single.init_state(vort0))
+    z = m.segment(z, src, n_steps)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..config import ModelConfig
+from ..models import barotropic
+from ..ops.spectral import SpectralTables
+from . import dfft
+
+AXIS = "x"  # mesh axis name for the slab (row) decomposition
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices for slab decomposition."""
+    devices = list(devices if devices is not None else jax.devices())
+    import numpy as np
+    return Mesh(np.array(devices), axis_names=(axis,))
+
+
+def table_specs(axis: str = AXIS) -> SpectralTables:
+    """PartitionSpec pytree for SpectralTables: row-sharded 2-D tables,
+    row-sharded kx, replicated (half-axis) ky."""
+    return SpectralTables(kx=P(axis), ky=P(),
+                          lap=P(axis, None), inv_lap=P(axis, None),
+                          mask=P(axis, None))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedBarotropicModel:
+    """Multi-chip analogue of models.barotropic.BarotropicModel.
+
+    `step`:    (zeta_hat, src) -> zeta_hat, one RK4 step, fully sharded.
+    `segment`: (zeta_hat, src, n_steps) -> zeta_hat after n_steps (scan
+               inside shard_map; forcing held fixed over the segment).
+    `diags`:   zeta_hat -> DiagFields, all sharded like the state.
+    """
+
+    cfg: ModelConfig
+    mesh: Mesh
+    axis: str
+    tables: SpectralTables
+    step: Callable
+    segment: Callable
+    diags: Callable
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, mesh: Mesh,
+              axis: str = AXIS) -> "ShardedBarotropicModel":
+        n = mesh.shape[axis]
+        if cfg.nx % n != 0:
+            raise ValueError(
+                f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
+        t = SpectralTables.from_config(cfg)
+        g = cfg.grid_shape
+        dt, nu = float(cfg.dt), float(cfg.nu)
+        fwd, inv = dfft.make_fft_pair(axis, n)
+        tspec = table_specs(axis)
+        spec2d = P(axis, None)
+
+        def step_local(tl, zeta_hat, src):
+            return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
+                                       fwd=fwd, inv=inv)
+
+        def segment_local(tl, zeta_hat, src, n_steps: int):
+            def body(z, _):
+                return barotropic.rk4_step(tl, z, src, dt, nu, g,
+                                           fwd=fwd, inv=inv), None
+            z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
+            return z
+
+        def diags_local(tl, zeta_hat):
+            return barotropic.diag_fields(tl, zeta_hat, g, inv=inv)
+
+        step_sm = shard_map(step_local, mesh=mesh,
+                            in_specs=(tspec, spec2d, spec2d),
+                            out_specs=spec2d)
+        diags_sm = shard_map(diags_local, mesh=mesh,
+                             in_specs=(tspec, spec2d),
+                             out_specs=barotropic.DiagFields(
+                                 vort=spec2d, psi=spec2d, u=spec2d, v=spec2d))
+
+        step = jax.jit(functools.partial(step_sm, t))
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def segment(zeta_hat, src, n_steps: int):
+            local = shard_map(
+                functools.partial(segment_local, n_steps=n_steps),
+                mesh=mesh, in_specs=(tspec, spec2d, spec2d),
+                out_specs=spec2d)
+            return local(t, zeta_hat, src)
+
+        diags = jax.jit(functools.partial(diags_sm, t))
+
+        return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
+                   step=step, segment=segment, diags=diags)
+
+    # ----- sharding helpers -----
+    def _sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def shard_spectral(self, zeta_hat) -> jax.Array:
+        """Place a (nx, hny) spectral state on the mesh, row-sharded."""
+        return jax.device_put(jnp.asarray(zeta_hat, jnp.complex64),
+                              self._sharding())
+
+    def shard_physical(self, field) -> jax.Array:
+        """Place a (nx, ny) physical field on the mesh, row-sharded."""
+        return jax.device_put(jnp.asarray(field, jnp.float32),
+                              self._sharding())
+
+    def init_state(self, vort0) -> jax.Array:
+        """Physical IC -> sharded spectral state via the distributed FFT."""
+        n = self.mesh.shape[self.axis]
+        fwd, _ = dfft.make_fft_pair(self.axis, n)
+        f = shard_map(fwd, mesh=self.mesh, in_specs=P(self.axis, None),
+                      out_specs=P(self.axis, None))
+        return jax.jit(f)(self.shard_physical(vort0))
+
+    def zero_source(self) -> jax.Array:
+        return self.shard_physical(
+            jnp.zeros(self.cfg.grid_shape, jnp.float32))
