@@ -118,3 +118,24 @@ def test_sharded_state_layout(mesh):
     z = multi.init_state(makefields.gaussian(cfg))
     shard_rows = {s.index[0] for s in z.addressable_shards}
     assert len(shard_rows) == mesh.shape["x"]
+
+
+def test_sharded_shallow_water_matches_single(mesh):
+    from xlab_fftbarotropic_tpu.models.shallow_water import ShallowWaterModel
+    from xlab_fftbarotropic_tpu.parallel import ShardedShallowWaterModel
+    cfg = ModelConfig(nx=64, ny=64, nu=0.0, gravity=9.81, mean_depth=1000.0)
+    vort0 = makefields.gaussian(cfg, zeta0=1e-5)
+    single = ShallowWaterModel.build(cfg)
+    multi = ShardedShallowWaterModel.build(cfg, mesh)
+    s1 = single.geostrophic_init(vort0)
+    sN = multi.geostrophic_init(vort0)
+    src1 = single.zero_source()
+    srcN = multi.zero_source()
+    for _ in range(3):
+        s1 = single.step(s1, src1)
+        sN = multi.step(sN, srcN)
+    for a, b in zip(sN, s1):
+        scale = max(1e-30, float(np.max(np.abs(np.asarray(b)))))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=5e-5)

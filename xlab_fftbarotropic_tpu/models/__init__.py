@@ -1,1 +1,2 @@
 from .barotropic import BarotropicModel
+from .shallow_water import ShallowWaterModel, SWState

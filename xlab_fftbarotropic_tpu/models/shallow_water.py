@@ -1,0 +1,245 @@
+"""Rotating shallow-water model (vorticity-divergence-height spectral form).
+
+Capability the reference only promised: main-shallow-water.cpp is a misnomer
+that still integrates the 2-D barotropic vorticity equation
+(/root/reference/TODO.md:5 "Implement real shallow water system"; SURVEY.md
+C6). This is the real thing, designed TPU-first: prognostic half-spectrum
+state (zeta_hat, div_hat, eta_hat), the whole RK4 step a pure jittable
+function reusing the barotropic package's spectral tables, FFT backends
+(single-device or distributed), and dealiasing contract.
+
+Continuous equations on the doubly-periodic f-plane, vector-invariant form
+with q = zeta + f the absolute vorticity, h = H + eta the fluid depth
+(H = cfg.mean_depth; the PERTURBATION eta is prognostic — carrying the full
+depth in float32 would bury metre-scale dynamics in the round-off of the
+kilometre-scale mean, a conditioning bug this layout designs away), and
+Phi = g*eta + (u^2+v^2)/2 the Bernoulli function (the constant g*H drops
+out of the gradient):
+
+    d zeta / dt = -div(q * u_vec)               + nu * lap(zeta) + S
+    d delta/ dt =  curl_z(q * u_vec) - lap(Phi) + nu * lap(delta)
+    d eta  / dt = -H * delta - div(eta * u_vec)
+
+where curl_z(q u_vec) = d(q v)/dx - d(q u)/dy. Velocities recovered by the
+Helmholtz decomposition u = -psi_y + chi_x, v = psi_x + chi_y with
+lap(psi) = zeta, lap(chi) = delta (same invertLaplacian semantics as the
+barotropic core: spectral mean mode passes through, fftwfop.cpp:43).
+
+Per RK4 stage: 5 inverse FFTs (u, v, zeta, delta, h) + 3 forward FFTs
+(the three flux/Bernoulli groups), all pointwise work fused by XLA. Each
+stage tendency is dealiased with the reference's circular mask, matching
+the barotropic contract (main.cpp:296-306).
+
+The optional source S feeds the vorticity equation only, mirroring the
+forced barotropic driver's vort_src (main-shallow-water.cpp:304).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import fft
+from ..ops import spectral as sp
+from ..ops.spectral import SpectralTables
+
+
+class SWState(NamedTuple):
+    """Half-spectrum prognostic state, all complex64 (nx, ny//2+1)."""
+    zeta_hat: jax.Array   # relative vorticity
+    div_hat: jax.Array    # horizontal divergence
+    eta_hat: jax.Array    # depth PERTURBATION about cfg.mean_depth
+
+
+class SWDiagFields(NamedTuple):
+    """Physical-space fields for record output."""
+    vort: jax.Array
+    div: jax.Array
+    h: jax.Array
+    u: jax.Array
+    v: jax.Array
+    psi: jax.Array
+
+
+def sw_velocities(t: SpectralTables, zeta_hat: jax.Array,
+                  div_hat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Helmholtz: u_hat = -i ky psi_hat + i kx chi_hat, v_hat mirrored."""
+    psi_hat = sp.invert_laplacian(t, zeta_hat)
+    chi_hat = sp.invert_laplacian(t, div_hat)
+    u_hat = -sp.grady(t, psi_hat) + sp.gradx(t, chi_hat)
+    v_hat = sp.gradx(t, psi_hat) + sp.grady(t, chi_hat)
+    return u_hat, v_hat
+
+
+def tendency(t: SpectralTables, s: SWState, src: jax.Array,
+             f: float, g: float, nu: float, mean_depth: float,
+             grid_shape: Tuple[int, int],
+             fwd: Callable = fft.forward,
+             inv: Callable = fft.inverse) -> SWState:
+    """Un-dealiased spectral tendencies of (zeta, delta, eta)."""
+    u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
+    u = inv(u_hat, grid_shape)
+    v = inv(v_hat, grid_shape)
+    zeta = inv(s.zeta_hat, grid_shape)
+    eta = inv(s.eta_hat, grid_shape)
+
+    q = zeta + f                       # absolute vorticity (f-plane)
+    qu_hat = fwd(q * u)
+    qv_hat = fwd(q * v)
+    eu_hat = fwd(eta * u)
+    ev_hat = fwd(eta * v)
+    # Bernoulli: g*eta + kinetic energy (pointwise, fused)
+    phi_hat = fwd(g * eta + 0.5 * (u * u + v * v))
+
+    dzeta = -(sp.gradx(t, qu_hat) + sp.grady(t, qv_hat)) \
+        + nu * sp.laplacian(t, s.zeta_hat)
+    if src is not None:
+        dzeta = dzeta + fwd(src)
+    ddiv = (sp.gradx(t, qv_hat) - sp.grady(t, qu_hat)) \
+        - sp.laplacian(t, phi_hat) + nu * sp.laplacian(t, s.div_hat)
+    deta = -(sp.gradx(t, eu_hat) + sp.grady(t, ev_hat)) \
+        - mean_depth * s.div_hat
+    return SWState(zeta_hat=dzeta, div_hat=ddiv, eta_hat=deta)
+
+
+def _dealias_state(t: SpectralTables, s: SWState) -> SWState:
+    return SWState(*(sp.dealias(t, a) for a in s))
+
+
+def _axpy(s0: SWState, k: SWState, a: float) -> SWState:
+    return SWState(*(x + y * a for x, y in zip(s0, k)))
+
+
+def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
+             dt: float, f: float, g: float, nu: float, mean_depth: float,
+             grid_shape: Tuple[int, int],
+             fwd: Callable = fft.forward,
+             inv: Callable = fft.inverse) -> SWState:
+    """Classic RK4 with per-stage dealiased tendencies — the same stepping
+    contract as the barotropic core (main.cpp:286-317)."""
+    d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
+                          mean_depth=mean_depth,
+                          grid_shape=grid_shape, fwd=fwd, inv=inv)
+    k1 = _dealias_state(t, d(s))
+    k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
+    k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
+    k4 = _dealias_state(t, d(_axpy(s, k3, dt)))
+    comb = SWState(*(a + 2.0 * b + 2.0 * c + e
+                     for a, b, c, e in zip(k1, k2, k3, k4)))
+    return _axpy(s, comb, dt / 6.0)
+
+
+class SWStats(NamedTuple):
+    """Conserved / monitoring scalars.
+
+    mass is exactly conserved by the flux-form mass equation (the mean mode
+    of -div(hu) is zero); total energy 0.5*h*(u^2+v^2) + 0.5*g*h^2 and
+    potential enstrophy 0.5*h*q_pot^2 (q_pot=(zeta+f)/h) are conserved by
+    the continuous equations — drift measures the discretization.
+    """
+    mass: jax.Array
+    energy: jax.Array
+    pot_enstrophy: jax.Array
+    max_abs_div: jax.Array
+    cfl: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ShallowWaterModel:
+    """Compiled stepper bundle, mirroring BarotropicModel's API."""
+
+    cfg: ModelConfig
+    tables: SpectralTables
+    step: Callable
+    segment: Callable
+    diags: Callable
+    stats: Callable
+
+    @classmethod
+    def build(cls, cfg: ModelConfig,
+              tables: Optional[SpectralTables] = None) -> "ShallowWaterModel":
+        t = tables if tables is not None else SpectralTables.from_config(cfg)
+        g_shape = cfg.grid_shape
+        dt, nu = float(cfg.dt), float(cfg.nu)
+        f, grav = float(cfg.f), float(cfg.gravity)
+
+        H = float(cfg.mean_depth)
+
+        @jax.jit
+        def step(s: SWState, src):
+            return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def segment(s: SWState, src, n_steps: int):
+            def body(state, _):
+                return rk4_step(t, state, src, dt, f, grav, nu, H,
+                                g_shape), None
+            out, _ = jax.lax.scan(body, s, None, length=n_steps)
+            return out
+
+        @jax.jit
+        def diags(s: SWState) -> SWDiagFields:
+            u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
+            psi_hat = sp.invert_laplacian(t, s.zeta_hat)
+            return SWDiagFields(
+                vort=fft.inverse(s.zeta_hat, g_shape),
+                div=fft.inverse(s.div_hat, g_shape),
+                h=cfg.mean_depth + fft.inverse(s.eta_hat, g_shape),
+                u=fft.inverse(u_hat, g_shape),
+                v=fft.inverse(v_hat, g_shape),
+                psi=fft.inverse(psi_hat, g_shape),
+            )
+
+        @jax.jit
+        def stats(s: SWState) -> SWStats:
+            d = diags(s)
+            q_pot = (d.vort + f) / d.h
+            ke = 0.5 * d.h * (d.u * d.u + d.v * d.v)
+            pe = 0.5 * grav * d.h * d.h
+            return SWStats(
+                mass=jnp.mean(d.h),
+                energy=jnp.mean(ke + pe),
+                pot_enstrophy=jnp.mean(0.5 * d.h * q_pot * q_pot),
+                max_abs_div=jnp.max(jnp.abs(d.div)),
+                cfl=jnp.max(jnp.abs(d.u) / cfg.dx + jnp.abs(d.v) / cfg.dy)
+                * dt,
+            )
+
+        return cls(cfg=cfg, tables=t, step=step, segment=segment,
+                   diags=diags, stats=stats)
+
+    # ----- state construction -----
+    def init_state(self, vort0, div0=None, h0=None) -> SWState:
+        """Physical fields -> spectral state. Defaults: no divergence,
+        flat depth cfg.mean_depth. h0 (if given) is the FULL depth; the
+        prognostic variable is the perturbation h0 - mean_depth."""
+        cfg = self.cfg
+        z = jnp.asarray(vort0, jnp.float32)
+        d = (jnp.zeros(cfg.grid_shape, jnp.float32) if div0 is None
+             else jnp.asarray(div0, jnp.float32))
+        eta = (jnp.zeros(cfg.grid_shape, jnp.float32) if h0 is None
+               else jnp.asarray(h0, jnp.float32) - cfg.mean_depth)
+        return SWState(zeta_hat=fft.forward(z), div_hat=fft.forward(d),
+                       eta_hat=fft.forward(eta))
+
+    def geostrophic_init(self, vort0) -> SWState:
+        """Balanced IC: given zeta, set delta=0 and the height in gradient-
+        wind-free geostrophic balance g*grad(eta) = -f ẑ×u, i.e.
+        eta_hat = (f/g) * psi_hat, which eliminates the fast gravity-wave
+        transient for small Rossby number."""
+        cfg = self.cfg
+        zeta_hat = fft.forward(jnp.asarray(vort0, jnp.float32))
+        psi_hat = sp.invert_laplacian(self.tables, zeta_hat)
+        eta_hat = ((float(cfg.f) / float(cfg.gravity)) * psi_hat
+                   ).at[0, 0].set(0.0)
+        return SWState(zeta_hat=zeta_hat,
+                       div_hat=jnp.zeros_like(zeta_hat),
+                       eta_hat=eta_hat)
+
+    def zero_source(self) -> jax.Array:
+        return jnp.zeros(self.cfg.grid_shape, jnp.float32)

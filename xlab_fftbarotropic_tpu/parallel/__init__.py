@@ -9,6 +9,7 @@ from .dfft import irfft2_local, make_fft_pair, rfft2_local  # noqa: F401
 from .model import (  # noqa: F401
     AXIS,
     ShardedBarotropicModel,
+    ShardedShallowWaterModel,
     make_mesh,
     table_specs,
 )

@@ -149,3 +149,97 @@ class ShardedBarotropicModel:
     def zero_source(self) -> jax.Array:
         return self.shard_physical(
             jnp.zeros(self.cfg.grid_shape, jnp.float32))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedShallowWaterModel:
+    """Multi-chip shallow-water stepper (models/shallow_water.py sharded
+    exactly like ShardedBarotropicModel: slab rows, distributed FFTs)."""
+
+    cfg: ModelConfig
+    mesh: Mesh
+    axis: str
+    tables: SpectralTables
+    step: Callable
+    segment: Callable
+    diags: Callable
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, mesh: Mesh,
+              axis: str = AXIS) -> "ShardedShallowWaterModel":
+        from ..models import shallow_water as sw
+
+        n = mesh.shape[axis]
+        if cfg.nx % n != 0:
+            raise ValueError(
+                f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
+        t = SpectralTables.from_config(cfg)
+        g = cfg.grid_shape
+        dt, nu = float(cfg.dt), float(cfg.nu)
+        f, grav = float(cfg.f), float(cfg.gravity)
+        H = float(cfg.mean_depth)
+        fwd, inv = dfft.make_fft_pair(axis, n)
+        tspec = table_specs(axis)
+        spec2d = P(axis, None)
+        sspec = sw.SWState(zeta_hat=spec2d, div_hat=spec2d, eta_hat=spec2d)
+
+        def step_local(tl, s, src):
+            return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
+                               fwd=fwd, inv=inv)
+
+        step_sm = shard_map(step_local, mesh=mesh,
+                            in_specs=(tspec, sspec, spec2d),
+                            out_specs=sspec)
+        step = jax.jit(functools.partial(step_sm, t))
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def segment(s, src, n_steps: int):
+            def seg_local(tl, s, src):
+                def body(state, _):
+                    return sw.rk4_step(tl, state, src, dt, f, grav, nu, H,
+                                       g, fwd=fwd, inv=inv), None
+                out, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return out
+            return shard_map(seg_local, mesh=mesh,
+                             in_specs=(tspec, sspec, spec2d),
+                             out_specs=sspec)(t, s, src)
+
+        def diags_local(tl, s):
+            u_hat, v_hat = sw.sw_velocities(tl, s.zeta_hat, s.div_hat)
+            from ..ops import spectral as sp
+            psi_hat = sp.invert_laplacian(tl, s.zeta_hat)
+            return sw.SWDiagFields(
+                vort=inv(s.zeta_hat, g), div=inv(s.div_hat, g),
+                h=H + inv(s.eta_hat, g), u=inv(u_hat, g), v=inv(v_hat, g),
+                psi=inv(psi_hat, g))
+
+        dspec = sw.SWDiagFields(vort=spec2d, div=spec2d, h=spec2d,
+                                u=spec2d, v=spec2d, psi=spec2d)
+        diags_sm = shard_map(diags_local, mesh=mesh,
+                             in_specs=(tspec, sspec), out_specs=dspec)
+        diags = jax.jit(functools.partial(diags_sm, t))
+
+        return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
+                   step=step, segment=segment, diags=diags)
+
+    def _sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def shard_state(self, s) -> "object":
+        return jax.device_put(s, self._sharding())
+
+    def init_state(self, vort0, div0=None, h0=None):
+        """Build the SW state on host via the single-device model's layout,
+        then shard (ICs are a one-time cost; the hot path stays on-mesh)."""
+        from ..models.shallow_water import ShallowWaterModel
+        single = ShallowWaterModel.build(self.cfg, tables=self.tables)
+        return self.shard_state(single.init_state(vort0, div0, h0))
+
+    def geostrophic_init(self, vort0):
+        from ..models.shallow_water import ShallowWaterModel
+        single = ShallowWaterModel.build(self.cfg, tables=self.tables)
+        return self.shard_state(single.geostrophic_init(vort0))
+
+    def zero_source(self) -> jax.Array:
+        return jax.device_put(
+            jnp.zeros(self.cfg.grid_shape, jnp.float32), self._sharding())
