@@ -136,10 +136,18 @@ class ScriptSourceReader(SourceReader):
 def make_reader(cfg: ModelConfig, recipe: str = "empty",
                 path=None) -> SourceReader:
     """Factory mirroring vs_reader.init (vorticity_source.cpp:82-96) and the
-    -s/-f driver flags (main-shallow-water.cpp:86-93)."""
+    -s/-f driver flags (main-shallow-water.cpp:86-93).
+
+    FIFO mode prefers the native C++ prefetch-thread reader
+    (native/vort_src.cpp via io.native_stream) which overlaps the pipe read
+    with device compute; the pure-Python reader is the fallback.
+    """
     if recipe == "empty":
         return SourceReader(cfg)
     if recipe == "fifo":
+        from ..io import native_stream
+        if native_stream.available():
+            return native_stream.NativeFifoReader(path, cfg.grid_shape)
         return FifoSourceReader(cfg, path)
     if recipe == "script":
         return ScriptSourceReader(cfg, path)
