@@ -165,3 +165,46 @@ class TestResume:
         assert res_resumed.steps_run == 5
         np.testing.assert_array_equal(np.asarray(res_full.zeta_hat),
                                       np.asarray(res_resumed.zeta_hat))
+
+
+def test_runner_shallow_water_records_and_resumes(tmp_path):
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.ic import makefields
+    import numpy as np
+    cfg = ModelConfig(nx=32, ny=32, total_steps=20, record_step=10,
+                      checkpoint_step=10, output_dir=str(tmp_path / "out"))
+    vort0 = makefields.gaussian(cfg, zeta0=1e-5)
+    r = runner.run(cfg, vort0=vort0, model_kind="shallow-water",
+                   manifest_path=str(tmp_path / "log"))
+    assert r.steps_run == 20
+    # SW-specific record fields present
+    for name in ("vort", "psi", "u", "v", "div", "h"):
+        assert (tmp_path / "out" / f"{name}_step_10.bin").exists(), name
+    assert "mass" in r.stats_history[0]
+    # resume from the checkpoint reproduces the final state
+    r2 = runner.run(cfg, model_kind="shallow-water",
+                    resume_from=tmp_path / "out" / "ckpt_step_10.npz",
+                    manifest_path=str(tmp_path / "log2"), record=False)
+    assert r2.steps_run == 10
+    for a, b in zip(r.zeta_hat, r2.zeta_hat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_resume_into_different_output_dir(tmp_path):
+    """Path fields must not affect the restart hash (only numerics do)."""
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.ic import makefields
+    cfg = ModelConfig(nx=32, ny=32, total_steps=10, record_step=5,
+                      checkpoint_step=5, output_dir=str(tmp_path / "a"))
+    runner.run(cfg, vort0=makefields.gaussian(cfg),
+               manifest_path=str(tmp_path / "log"))
+    cfg2 = cfg.replace(output_dir=str(tmp_path / "b"))
+    r = runner.run(cfg2, resume_from=tmp_path / "a" / "ckpt_step_5.npz",
+                   manifest_path=str(tmp_path / "log2"), record=False)
+    assert r.steps_run == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        runner.run(cfg2.replace(nx=64, ny=64),
+                   resume_from=tmp_path / "a" / "ckpt_step_5.npz",
+                   record=False)

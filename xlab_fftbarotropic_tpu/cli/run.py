@@ -19,6 +19,10 @@ def main(argv=None):
         prog="xfb-run",
         description="Barotropic vorticity model run (TPU-native)")
     add_config_args(p)
+    p.add_argument("-m", "--model", default="barotropic",
+                   choices=["barotropic", "bt", "shallow-water", "sw"],
+                   help="model family: barotropic vorticity (reference "
+                        "parity) or rotating shallow water (new)")
     p.add_argument("-s", "--script", default=None, metavar="RECIPE",
                    help="vorticity-source script file "
                         "(lines: '<time> <field.bin>')")
@@ -60,7 +64,8 @@ def main(argv=None):
     from ..runner import run
     result = run(cfg, recipe=recipe, src_path=src_path,
                  record=not args.no_record, manifest_path=args.manifest,
-                 progress=True, resume_from=args.resume_from)
+                 progress=True, resume_from=args.resume_from,
+                 model_kind=args.model)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

@@ -128,9 +128,22 @@ class ModelConfig:
     def from_json(cls, s: str) -> "ModelConfig":
         return cls(**json.loads(s))
 
+    # fields that do NOT affect the numerics — excluded from the restart
+    # hash so a resume into a different directory is legal
+    _PATH_FIELDS = ("input_dir", "output_dir", "init_file")
+
     def config_hash(self) -> str:
-        """Stable hash used to stamp checkpoints for restart validation."""
-        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+        """Stable hash used to stamp checkpoints for restart validation.
+
+        Covers only numerics-relevant fields: resuming with a different
+        output directory is fine; resuming with a different grid/dt/nu
+        fails loudly.
+        """
+        d = dataclasses.asdict(self)
+        for k in self._PATH_FIELDS:
+            d.pop(k, None)
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
 
 
 def add_config_args(parser, defaults: Optional[ModelConfig] = None):

@@ -127,18 +127,16 @@ class FieldRecorder:
             self.manifest.record(path)
         return path
 
-    def record(self, step: int, *, vort=None, psi=None, u=None, v=None,
-               vort_src=None) -> None:
-        # Order matches the reference's write order within a record step:
-        # vort_src, vort (main.cpp:266-282), then psi, u, v from the first
-        # RK stage (main.cpp:181-222).
+    # Preferred write order: the reference's order within a record step —
+    # vort_src, vort (main.cpp:266-282), then psi, u, v from the first RK
+    # stage (main.cpp:181-222) — followed by any new-model fields (div, h).
+    ORDER = ("vort_src", "vort", "psi", "u", "v", "div", "h")
+
+    def record(self, step: int, *, vort_src=None, **fields) -> None:
         if vort_src is not None:
             self._write("vort_src_input", step, vort_src)
-        if vort is not None:
-            self._write("vort", step, vort)
-        if psi is not None:
-            self._write("psi", step, psi)
-        if u is not None:
-            self._write("u", step, u)
-        if v is not None:
-            self._write("v", step, v)
+        ordered = [k for k in self.ORDER[1:] if fields.get(k) is not None]
+        ordered += [k for k in fields
+                    if k not in self.ORDER and fields[k] is not None]
+        for k in ordered:
+            self._write(k, step, fields[k])

@@ -52,7 +52,11 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
 
     `fwd`/`inv` are the FFT pair — the single-device jnp.fft wrappers by
     default, or the shard_map-local distributed transforms from
-    parallel/dfft.py when called inside a sharded step.
+    parallel/dfft.py when called inside a sharded step. The four inverse
+    transforms are issued SEPARATELY on purpose: stacking them into one
+    batched irfft2 was measured 21% slower at 4096^2 on TPU v5e (XLA's
+    batched FFT lowering pipelines worse than four independent transforms
+    it can interleave with the pointwise producers/consumers).
     """
     lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
     dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)    # main.cpp:151-154

@@ -35,10 +35,95 @@ from .models.barotropic import BarotropicModel
 
 @dataclasses.dataclass
 class RunResult:
-    zeta_hat: jax.Array
+    zeta_hat: jax.Array        # barotropic: spectral state; SW: SWState
     steps_run: int
     wall_time: float
     stats_history: list
+
+
+class _BarotropicAdapter:
+    """Uniform facade the run loop drives: step/segment/diags/stats +
+    state (de)hydration. Keeps the loop model-agnostic."""
+
+    kind = "barotropic"
+
+    def __init__(self, cfg, model=None):
+        self.cfg = cfg
+        self.model = model or BarotropicModel.build(cfg)
+
+    def init_from_physical(self, vort0):
+        return self.model.init_state(vort0)
+
+    def step(self, state, src):
+        return self.model.step(state, src)
+
+    def segment(self, state, src, n):
+        return self.model.segment(state, src, n)
+
+    def record_fields(self, state):
+        d = self.model.diags(state)
+        return dict(vort=np.asarray(d.vort), psi=np.asarray(d.psi),
+                    u=np.asarray(d.u), v=np.asarray(d.v))
+
+    def stats(self, state):
+        s = self.model.stats(state)
+        return dict(max_abs_vort=float(s.max_abs_vort),
+                    energy=float(s.energy),
+                    enstrophy=float(s.enstrophy), cfl=float(s.cfl))
+
+    def pack(self, state):
+        return np.asarray(state)
+
+    def unpack(self, packed):
+        return jnp.asarray(packed)
+
+
+class _ShallowWaterAdapter:
+    kind = "shallow-water"
+
+    def __init__(self, cfg, model=None):
+        from .models.shallow_water import ShallowWaterModel
+        self.cfg = cfg
+        self.model = model or ShallowWaterModel.build(cfg)
+
+    def init_from_physical(self, vort0):
+        # balanced start eliminates the spurious gravity-wave burst a
+        # vorticity-only IC would trigger (models/shallow_water.py)
+        return self.model.geostrophic_init(vort0)
+
+    def step(self, state, src):
+        return self.model.step(state, src)
+
+    def segment(self, state, src, n):
+        return self.model.segment(state, src, n)
+
+    def record_fields(self, state):
+        d = self.model.diags(state)
+        return dict(vort=np.asarray(d.vort), psi=np.asarray(d.psi),
+                    u=np.asarray(d.u), v=np.asarray(d.v),
+                    div=np.asarray(d.div), h=np.asarray(d.h))
+
+    def stats(self, state):
+        s = self.model.stats(state)
+        return dict(mass=float(s.mass), energy=float(s.energy),
+                    pot_enstrophy=float(s.pot_enstrophy),
+                    max_abs_div=float(s.max_abs_div), cfl=float(s.cfl))
+
+    def pack(self, state):
+        return np.stack([np.asarray(a) for a in state])
+
+    def unpack(self, packed):
+        from .models.shallow_water import SWState
+        return SWState(*(jnp.asarray(a) for a in packed))
+
+
+def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
+                 model=None):
+    if model_kind in ("barotropic", "bt"):
+        return _BarotropicAdapter(cfg, model)
+    if model_kind in ("shallow-water", "sw"):
+        return _ShallowWaterAdapter(cfg, model)
+    raise ValueError(f"unknown model kind {model_kind!r}")
 
 
 def run(cfg: ModelConfig,
@@ -50,23 +135,26 @@ def run(cfg: ModelConfig,
         progress: bool = False,
         resume_from=None,
         model: Optional[BarotropicModel] = None,
+        model_kind: str = "barotropic",
         collect_stats: bool = True) -> RunResult:
-    """Integrate cfg.total_steps of the barotropic model.
+    """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
     cfg.input_dir/cfg.init_file exactly like main.cpp:143-144.
+    model_kind: 'barotropic' (default) or 'shallow-water' — the SW family
+    starts from geostrophically balanced height/zero divergence.
     """
-    model = model or BarotropicModel.build(cfg)
+    adapter = make_adapter(cfg, model_kind, model)
 
     start_step = 0
     if resume_from is not None:
-        zeta_np, start_step, _ = load_checkpoint(resume_from, cfg)
-        zeta_hat = jnp.asarray(zeta_np)
+        state_np, start_step, _ = load_checkpoint(resume_from, cfg)
+        state = adapter.unpack(state_np)
     else:
         if vort0 is None:
             vort0 = read_field(Path(cfg.input_dir) / cfg.init_file,
                                cfg.grid_shape)
-        zeta_hat = model.init_state(vort0)
+        state = adapter.init_from_physical(vort0)
 
     src_np = np.zeros(cfg.grid_shape, dtype=np.float32)
     src = jnp.asarray(src_np)
@@ -79,37 +167,25 @@ def run(cfg: ModelConfig,
     t0 = _time.perf_counter()
     step = start_step
 
-    def do_record(step, zeta_hat, src_np):
-        d = model.diags(zeta_hat)
-        recorder.record(step,
-                        vort_src=src_np,
-                        vort=np.asarray(d.vort),
-                        psi=np.asarray(d.psi),
-                        u=np.asarray(d.u),
-                        v=np.asarray(d.v))
+    def do_record(step, state, src_np):
+        recorder.record(step, vort_src=src_np, **adapter.record_fields(state))
 
-    def note_stats(step, zeta_hat):
+    def note_stats(step, state):
         if collect_stats:
-            s = model.stats(zeta_hat)
-            stats_history.append(
-                dict(step=step,
-                     max_abs_vort=float(s.max_abs_vort),
-                     energy=float(s.energy),
-                     enstrophy=float(s.enstrophy),
-                     cfl=float(s.cfl)))
+            stats_history.append(dict(step=step, **adapter.stats(state)))
 
     per_step = recipe == "fifo"
     while step < cfg.total_steps:
         if record and step % cfg.record_step == 0:
-            do_record(step, zeta_hat, src_np)
-            note_stats(step, zeta_hat)
+            do_record(step, state, src_np)
+            note_stats(step, state)
             if progress:
                 print(f"# Step {step}, time = {step * cfg.dt:.2f}, "
                       f"record now!", file=sys.stderr)
         if cfg.checkpoint_step and step % cfg.checkpoint_step == 0 and \
                 step > start_step:
             save_checkpoint(Path(cfg.output_dir) / f"ckpt_step_{step}.npz",
-                            cfg, np.asarray(zeta_hat), step)
+                            cfg, adapter.pack(state), step)
 
         if per_step:
             # main-shallow-water.cpp:304 — source read precedes the step.
@@ -117,7 +193,7 @@ def run(cfg: ModelConfig,
             if changed:
                 src_np = np.asarray(field, dtype=np.float32)
                 src = jnp.asarray(src_np)
-            zeta_hat = model.step(zeta_hat, src)
+            state = adapter.step(state, src)
             step += 1
         else:
             # run to the next record/checkpoint/recipe boundary in one scan
@@ -135,15 +211,15 @@ def run(cfg: ModelConfig,
                 if nxt is not None:
                     boundaries.append(nxt)
             n = max(1, min(boundaries) - step)
-            zeta_hat = model.segment(zeta_hat, src, n)
+            state = adapter.segment(state, src, n)
             step += n
 
-    zeta_hat.block_until_ready()
+    jax.block_until_ready(state)
     wall = _time.perf_counter() - t0
     if manifest is not None:
         manifest.close()
     reader.close()
-    return RunResult(zeta_hat=zeta_hat, steps_run=step - start_step,
+    return RunResult(zeta_hat=state, steps_run=step - start_step,
                      wall_time=wall, stats_history=stats_history)
 
 
