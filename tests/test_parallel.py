@@ -139,3 +139,24 @@ def test_sharded_shallow_water_matches_single(mesh):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=5e-5)
+
+
+def test_2d_mesh_multihost_layout():
+    """Flattened ('host','chip') sharding matches the 1-D slab result —
+    the multi-host path (DCN x ICI) on a virtual 2x4 mesh."""
+    from xlab_fftbarotropic_tpu.parallel import make_mesh2d
+    cfg = ModelConfig(nx=64, ny=64)
+    vort0 = makefields.gaussian(cfg)
+    mesh2 = make_mesh2d((2, 4))
+    multi2 = ShardedBarotropicModel.build(cfg, mesh2,
+                                          axis=("host", "chip"))
+    single = BarotropicModel.build(cfg)
+    z2 = multi2.init_state(vort0)
+    z1 = single.init_state(vort0)
+    src2, src1 = multi2.zero_source(), single.zero_source()
+    for _ in range(2):
+        z2 = multi2.step(z2, src2)
+        z1 = single.step(z1, src1)
+    scale = max(1e-30, float(jnp.max(jnp.abs(z1))))
+    np.testing.assert_allclose(np.asarray(z2) / scale,
+                               np.asarray(z1) / scale, rtol=0, atol=2e-5)

@@ -153,3 +153,31 @@ class TestEffectiveDiffusivity:
         m0 = np.median(np.asarray(e0.kappa_ratio))
         m1 = np.median(np.asarray(e1.kappa_ratio))
         assert m1 > m0
+
+
+def test_diagnose_cli(tmp_path, monkeypatch, capsys):
+    import io as _io
+    import sys as _sys
+    import numpy as np
+    from xlab_fftbarotropic_tpu.cli import diagnose
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.io.fieldio import write_field, read_field
+
+    cfg = ModelConfig(nx=32, ny=32)
+    vort = makefields.gaussian(cfg)
+    p = tmp_path / "vort_step_0.bin"
+    write_field(p, vort)
+    monkeypatch.setattr(_sys, "stdin", _io.StringIO(f"{p}\n"))
+    diagnose.main(["--nx", "32", "--ny", "32", "-O", str(tmp_path),
+                   "-d", "filamentation", "-d", "okubo-weiss",
+                   "-d", "deformation", "-d", "eddy-diffusivity"])
+    out = capsys.readouterr().out
+    assert "summary=" in out
+    fil = read_field(tmp_path / "filamentation_step_0.bin", cfg.grid_shape)
+    ow = read_field(tmp_path / "okuboweiss_step_0.bin", cfg.grid_shape)
+    assert np.isfinite(fil).all() and np.isfinite(ow).all()
+    # vortex core is rotation-dominated: Okubo-Weiss < 0 at the center
+    assert ow[16, 16] < 0
+    kap = read_field(tmp_path / "eddydiff_step_0.bin")
+    assert (kap >= 1.0 - 1e-3).all()

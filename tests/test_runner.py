@@ -208,3 +208,33 @@ def test_resume_into_different_output_dir(tmp_path):
         runner.run(cfg2.replace(nx=64, ny=64),
                    resume_from=tmp_path / "a" / "ckpt_step_5.npz",
                    record=False)
+
+
+def test_blowup_guard_fires(tmp_path):
+    """A CFL-violating run must fail loudly at a record boundary with the
+    step index, not write NaN fields silently."""
+    import pytest as _pytest
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.utils.guards import BlowUpError
+    cfg = ModelConfig(nx=32, ny=32, dt=1e6, nu=0.0, total_steps=40,
+                      record_step=10, output_dir=str(tmp_path / "out"))
+    vort0 = makefields.kuo2004(cfg)
+    with _pytest.raises(BlowUpError):
+        runner.run(cfg, vort0=vort0, manifest_path=str(tmp_path / "log"))
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+    from xlab_fftbarotropic_tpu.utils.profiling import (
+        StepTimer, throughput, timed)
+    import jax
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = jnp.ones((64, 64))
+    sec, out = timed(f, x)
+    assert sec > 0 and out.shape == (64, 64)
+    gps = throughput(f, x, grid_points=64 * 64)
+    assert gps > 0
+    st = StepTimer(64 * 64)
+    rec = st.lap(10)
+    assert rec["steps_per_s"] > 0

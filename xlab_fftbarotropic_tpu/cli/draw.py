@@ -17,6 +17,8 @@ from ..viz.plots import draw_run
 
 
 def main(argv=None):
+    from ._platform import apply_env_platform
+    apply_env_platform()
     ap = argparse.ArgumentParser(prog="xfb-draw")
     add_config_args(ap)
     ap.add_argument("--fig-dir", default="output_fig")

@@ -14,6 +14,8 @@ import sys
 
 
 def main(argv=None):
+    from ._platform import apply_env_platform
+    apply_env_platform()
     from ..config import add_config_args, config_from_args
     from ..diagnostics.invert_pres import PressureInverter
     from ..io.fieldio import read_field, write_field

@@ -14,6 +14,8 @@ from pathlib import Path
 
 
 def main(argv=None):
+    from ._platform import apply_env_platform
+    apply_env_platform()
     from ..config import add_config_args, config_from_args
     from ..ic.makefields import GENERATORS, make
     from ..io.fieldio import write_field

@@ -13,6 +13,8 @@ import sys
 
 
 def main(argv=None):
+    from ._platform import apply_env_platform
+    apply_env_platform()
     from ..config import add_config_args, config_from_args
 
     p = argparse.ArgumentParser(

@@ -47,9 +47,35 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
-def table_specs(axis: str = AXIS) -> SpectralTables:
+def make_mesh2d(shape, devices: Optional[Sequence] = None,
+                axes=("host", "chip")) -> Mesh:
+    """2-D mesh (e.g. hosts x chips-per-host) for multi-host runs.
+
+    The FFT transposes run over the FLATTENED axis pair — for a 2-D field
+    a "pencil" decomposition degenerates to rows over all devices; what the
+    2-D mesh buys is placement: XLA decomposes the tuple-axis all_to_all
+    hierarchically so the intra-host stage rides ICI and only the residual
+    crosses DCN. Use with build(..., axis=axes).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    import numpy as np
+    return Mesh(np.array(devices).reshape(shape), axis_names=tuple(axes))
+
+
+def axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count along a (possibly tuple) mesh axis spec."""
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
+def table_specs(axis=AXIS) -> SpectralTables:
     """PartitionSpec pytree for SpectralTables: row-sharded 2-D tables,
-    row-sharded kx, replicated (half-axis) ky."""
+    row-sharded kx, replicated (half-axis) ky. `axis` may be a tuple of
+    mesh axis names (multi-host flattened sharding)."""
     return SpectralTables(kx=P(axis), ky=P(),
                           lap=P(axis, None), inv_lap=P(axis, None),
                           mask=P(axis, None))
@@ -67,7 +93,7 @@ class ShardedBarotropicModel:
 
     cfg: ModelConfig
     mesh: Mesh
-    axis: str
+    axis: object  # mesh axis name or tuple of names
     tables: SpectralTables
     step: Callable
     segment: Callable
@@ -76,7 +102,7 @@ class ShardedBarotropicModel:
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
               axis: str = AXIS) -> "ShardedBarotropicModel":
-        n = mesh.shape[axis]
+        n = axis_size(mesh, axis)
         if cfg.nx % n != 0:
             raise ValueError(
                 f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
@@ -140,7 +166,7 @@ class ShardedBarotropicModel:
 
     def init_state(self, vort0) -> jax.Array:
         """Physical IC -> sharded spectral state via the distributed FFT."""
-        n = self.mesh.shape[self.axis]
+        n = axis_size(self.mesh, self.axis)
         fwd, _ = dfft.make_fft_pair(self.axis, n)
         f = shard_map(fwd, mesh=self.mesh, in_specs=P(self.axis, None),
                       out_specs=P(self.axis, None))
@@ -158,7 +184,7 @@ class ShardedShallowWaterModel:
 
     cfg: ModelConfig
     mesh: Mesh
-    axis: str
+    axis: object  # mesh axis name or tuple of names
     tables: SpectralTables
     step: Callable
     segment: Callable
@@ -169,7 +195,7 @@ class ShardedShallowWaterModel:
               axis: str = AXIS) -> "ShardedShallowWaterModel":
         from ..models import shallow_water as sw
 
-        n = mesh.shape[axis]
+        n = axis_size(mesh, axis)
         if cfg.nx % n != 0:
             raise ValueError(
                 f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")

@@ -136,7 +136,8 @@ def run(cfg: ModelConfig,
         resume_from=None,
         model: Optional[BarotropicModel] = None,
         model_kind: str = "barotropic",
-        collect_stats: bool = True) -> RunResult:
+        collect_stats: bool = True,
+        check_finite: bool = True) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -168,7 +169,11 @@ def run(cfg: ModelConfig,
     step = start_step
 
     def do_record(step, state, src_np):
-        recorder.record(step, vort_src=src_np, **adapter.record_fields(state))
+        fields = adapter.record_fields(state)
+        if check_finite:
+            from .utils.guards import check_finite as _cf
+            _cf(step, **fields)
+        recorder.record(step, vort_src=src_np, **fields)
 
     def note_stats(step, state):
         if collect_stats:
