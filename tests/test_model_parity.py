@@ -121,3 +121,24 @@ class TestConservation:
         s1 = model.stats(z)
         assert abs(float(s1.energy - s0.energy)) < 1e-3 * float(s0.energy)
         assert abs(float(s1.enstrophy - s0.enstrophy)) < 1e-2 * float(s0.enstrophy)
+
+
+def test_paired_fft_path_stays_on_oracle_trajectory():
+    """Regression for the Hermitian-packing leak: the default (paired-FFT)
+    step must track the oracle to round-off over 20 chaotic steps, not just
+    within loose drift tolerances. Without the column-0/Nyquist
+    symmetrization in ops/fft.py:_hermitian_full this error is ~5e-3."""
+    import numpy as np
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+    from xlab_fftbarotropic_tpu.oracle import reference_cpu as oracle
+
+    cfg = ModelConfig(nx=64, ny=64)
+    v0 = makefields.kuo2004(cfg)
+    m = BarotropicModel.build(cfg)
+    z = m.segment(m.init_state(v0), m.zero_source(), 20)
+    mine = np.asarray(m.diags(z).vort)
+    want = oracle.OracleBarotropic(cfg).run(v0, 20)
+    rel = np.abs(mine - want).max() / np.abs(want).max()
+    assert rel < 1e-6, rel

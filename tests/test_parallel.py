@@ -134,8 +134,12 @@ def test_sharded_shallow_water_matches_single(mesh):
     for _ in range(3):
         s1 = single.step(s1, src1)
         sN = multi.step(sN, srcN)
+    # one COMMON scale across the state: the single path uses Hermitian-
+    # paired c2c transforms, the distributed path r2c+all_to_all, so
+    # per-field normalization of near-zero fields (div starts at 0) would
+    # amplify harmless algorithm-difference rounding into false failures.
+    scale = max(float(np.max(np.abs(np.asarray(f)))) for f in s1)
     for a, b in zip(sN, s1):
-        scale = max(1e-30, float(np.max(np.abs(np.asarray(b)))))
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=5e-5)

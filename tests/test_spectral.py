@@ -156,3 +156,28 @@ class TestAgainstOracleTables:
         np.testing.assert_array_equal(np.asarray(t.lap), o.lap)
         np.testing.assert_array_equal(np.asarray(t.inv_lap), o.inv_lap)
         np.testing.assert_array_equal(np.asarray(t.mask), o.mask)
+
+
+def test_inverse_pair_matches_irfft2(rng):
+    import jax.numpy as jnp
+    from xlab_fftbarotropic_tpu.ops import fft
+    a = rng.randn(32, 24).astype(np.float32)
+    b = rng.randn(32, 24).astype(np.float32)
+    sa = jnp.fft.rfft2(a)
+    sb = jnp.fft.rfft2(b)
+    ga, gb = fft.inverse_pair(sa, sb, (32, 24))
+    np.testing.assert_allclose(np.asarray(ga), a, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb), b, rtol=0, atol=2e-5)
+
+
+def test_forward_pair_matches_rfft2(rng):
+    from xlab_fftbarotropic_tpu.ops import fft
+    import jax.numpy as jnp
+    a = rng.randn(48, 32).astype(np.float32)
+    b = rng.randn(48, 32).astype(np.float32)
+    sa, sb = fft.forward_pair(jnp.asarray(a), jnp.asarray(b))
+    wa = np.fft.rfft2(a)
+    wb = np.fft.rfft2(b)
+    scale = np.abs(wa).max()
+    np.testing.assert_allclose(np.asarray(sa), wa, rtol=0, atol=3e-4 * scale)
+    np.testing.assert_allclose(np.asarray(sb), wb, rtol=0, atol=3e-4 * scale)

@@ -52,18 +52,26 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
 
     `fwd`/`inv` are the FFT pair — the single-device jnp.fft wrappers by
     default, or the shard_map-local distributed transforms from
-    parallel/dfft.py when called inside a sharded step. The four inverse
-    transforms are issued SEPARATELY on purpose: stacking them into one
-    batched irfft2 was measured 21% slower at 4096^2 on TPU v5e (XLA's
-    batched FFT lowering pipelines worse than four independent transforms
-    it can interleave with the pointwise producers/consumers).
+    parallel/dfft.py when called inside a sharded step. On the default
+    (single-device) path the four inverse transforms are PAIRED into two
+    complex ifft2 calls via Hermitian packing (ops/fft.py:inverse_pair) —
+    measured 15% faster per step at 2048^2 on TPU. (Stacking them into one
+    batched irfft2 instead was measured 21% SLOWER at 4096^2 — XLA's
+    batched FFT lowering pipelines worse than independent transforms.)
     """
     lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
-    dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)    # main.cpp:151-154
-    dvdy = inv(sp.grady(t, zeta_hat), grid_shape)    # main.cpp:165-168
     psi_hat = sp.invert_laplacian(t, zeta_hat)       # main.cpp:179
-    u = -inv(sp.grady(t, psi_hat), grid_shape)       # main.cpp:198-201
-    v = inv(sp.gradx(t, psi_hat), grid_shape)        # main.cpp:212-214
+    if inv is fft.inverse:
+        # zeta_x, zeta_y (main.cpp:151-168) | u=-psi_y, v=psi_x (:198-214)
+        dvdx, dvdy = fft.inverse_pair(sp.gradx(t, zeta_hat),
+                                      sp.grady(t, zeta_hat), grid_shape)
+        u, v = fft.inverse_pair(-sp.grady(t, psi_hat),
+                                sp.gradx(t, psi_hat), grid_shape)
+    else:
+        dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
+        dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
+        u = -inv(sp.grady(t, psi_hat), grid_shape)
+        v = inv(sp.gradx(t, psi_hat), grid_shape)
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
     dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
     return dvortdt_hat + lvort_hat * nu              # main.cpp:240-243

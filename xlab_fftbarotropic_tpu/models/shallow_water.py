@@ -81,18 +81,34 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse) -> SWState:
-    """Un-dealiased spectral tendencies of (zeta, delta, eta)."""
+    """Un-dealiased spectral tendencies of (zeta, delta, eta).
+
+    On the default single-device FFT path the 4 inverse and 4 of the 5
+    forward transforms are Hermitian-PAIRED into complex c2c transforms
+    (ops/fft.py:inverse_pair/forward_pair), cutting the per-stage FFT count
+    from 10 real-transform units to ~5 — measured ~15%/pair-site gain on
+    TPU (see models/barotropic.py note).
+    """
     u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
-    u = inv(u_hat, grid_shape)
-    v = inv(v_hat, grid_shape)
-    zeta = inv(s.zeta_hat, grid_shape)
-    eta = inv(s.eta_hat, grid_shape)
+    paired = (fwd is fft.forward and inv is fft.inverse)
+    if paired:
+        u, v = fft.inverse_pair(u_hat, v_hat, grid_shape)
+        zeta, eta = fft.inverse_pair(s.zeta_hat, s.eta_hat, grid_shape)
+    else:
+        u = inv(u_hat, grid_shape)
+        v = inv(v_hat, grid_shape)
+        zeta = inv(s.zeta_hat, grid_shape)
+        eta = inv(s.eta_hat, grid_shape)
 
     q = zeta + f                       # absolute vorticity (f-plane)
-    qu_hat = fwd(q * u)
-    qv_hat = fwd(q * v)
-    eu_hat = fwd(eta * u)
-    ev_hat = fwd(eta * v)
+    if paired:
+        qu_hat, qv_hat = fft.forward_pair(q * u, q * v)
+        eu_hat, ev_hat = fft.forward_pair(eta * u, eta * v)
+    else:
+        qu_hat = fwd(q * u)
+        qv_hat = fwd(q * v)
+        eu_hat = fwd(eta * u)
+        ev_hat = fwd(eta * v)
     # Bernoulli: g*eta + kinetic energy (pointwise, fused)
     phi_hat = fwd(g * eta + 0.5 * (u * u + v * v))
 

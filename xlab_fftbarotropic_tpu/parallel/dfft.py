@@ -67,22 +67,42 @@ def transpose_to_rows(spec_cols: jax.Array, axis_name: str,
     return out[:, :hny]
 
 
-def rfft2_local(field: jax.Array, axis_name: str, n_shards: int) -> jax.Array:
+def _transposes(axis_name, n_shards, use_pallas: bool, interpret: bool):
+    """(to_columns, to_rows) pair: XLA all_to_all (default) or the Pallas
+    DMA kernels from pallas_transpose.py (experimental)."""
+    if not use_pallas:
+        return (functools.partial(transpose_to_columns, axis_name=axis_name,
+                                  n_shards=n_shards),
+                functools.partial(transpose_to_rows, axis_name=axis_name,
+                                  n_shards=n_shards))
+    from . import pallas_transpose as pt
+    return (functools.partial(pt.transpose_to_columns, axis_name=axis_name,
+                              n_shards=n_shards, interpret=interpret),
+            functools.partial(pt.transpose_to_rows, axis_name=axis_name,
+                              n_shards=n_shards, interpret=interpret))
+
+
+def rfft2_local(field: jax.Array, axis_name: str, n_shards: int,
+                use_pallas: bool = False,
+                interpret: bool = False) -> jax.Array:
     """shard_map-local distributed rfft2.
 
     field: local (nx/P, ny) float32 -> local (nx/P, ny//2+1) complex64,
     unnormalized — distributed equivalent of ops/fft.py:forward and of the
     reference's fftwf_plan_dft_r2c_2d (main.cpp:126).
     """
+    to_cols, to_rows = _transposes(axis_name, n_shards, use_pallas, interpret)
     hny = field.shape[1] // 2 + 1
     spec = jnp.fft.rfft(field, axis=1)               # local y transform
-    cols = transpose_to_columns(spec, axis_name, n_shards)
+    cols = to_cols(spec)
     cols = jnp.fft.fft(cols, axis=0)                 # full-length x transform
-    return transpose_to_rows(cols, axis_name, n_shards, hny)
+    return to_rows(cols, hny=hny)
 
 
 def irfft2_local(spec: jax.Array, grid_shape: Optional[Tuple[int, int]],
-                 axis_name: str, n_shards: int) -> jax.Array:
+                 axis_name: str, n_shards: int,
+                 use_pallas: bool = False,
+                 interpret: bool = False) -> jax.Array:
     """shard_map-local distributed irfft2, scaled by 1/(nx*ny).
 
     spec: local (nx/P, hny) complex64 -> local (nx/P, ny) float32.
@@ -90,22 +110,30 @@ def irfft2_local(spec: jax.Array, grid_shape: Optional[Tuple[int, int]],
     matching the ops/fft.py:inverse signature so the model core can swap
     the two implementations.
     """
+    to_cols, to_rows = _transposes(axis_name, n_shards, use_pallas, interpret)
     hny = spec.shape[1]
     ny = (grid_shape[1] if grid_shape is not None else 2 * (hny - 1))
-    cols = transpose_to_columns(spec, axis_name, n_shards)
+    cols = to_cols(spec)
     cols = jnp.fft.ifft(cols, axis=0)                # normalizes by 1/nx
-    rows = transpose_to_rows(cols, axis_name, n_shards, hny)
+    rows = to_rows(cols, hny=hny)
     return jnp.fft.irfft(rows, n=ny, axis=1)         # normalizes by 1/ny
 
 
-def make_fft_pair(axis_name: str, n_shards: int):
+def make_fft_pair(axis_name: str, n_shards: int, use_pallas: bool = False,
+                  interpret: bool = False):
     """(forward, inverse) callables with the ops/fft.py signatures, bound to
     a mesh axis — plug these into models.barotropic.rk4_step inside a
-    shard_map to get the fully distributed step."""
+    shard_map to get the fully distributed step.
+
+    use_pallas=True swaps the all_to_all transposes for the hand-rolled
+    Pallas DMA kernels (experimental; `interpret` runs them in the Pallas
+    interpreter — required on CPU meshes)."""
     fwd = functools.partial(rfft2_local, axis_name=axis_name,
-                            n_shards=n_shards)
+                            n_shards=n_shards, use_pallas=use_pallas,
+                            interpret=interpret)
 
     def inv(spec, grid_shape=None):
-        return irfft2_local(spec, grid_shape, axis_name, n_shards)
+        return irfft2_local(spec, grid_shape, axis_name, n_shards,
+                            use_pallas=use_pallas, interpret=interpret)
 
     return fwd, inv
