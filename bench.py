@@ -20,7 +20,7 @@ import sys
 import time
 
 
-def measure_tpu(nx: int, steps: int) -> float:
+def measure_tpu(nx: int, steps: int, model_kind: str = "barotropic") -> float:
     """Wall-clock a `steps`-long jitted scan segment; returns grid-points/s
     (one chip). Compile excluded; device-synchronized timing."""
     import jax
@@ -28,20 +28,36 @@ def measure_tpu(nx: int, steps: int) -> float:
 
     from xlab_fftbarotropic_tpu.config import ModelConfig
     from xlab_fftbarotropic_tpu.ic import makefields
-    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
 
     cfg = ModelConfig(nx=nx, ny=nx)
-    model = BarotropicModel.build(cfg)
-    z = model.init_state(makefields.gaussian(cfg))
-    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    if model_kind in ("shallow-water", "sw"):
+        from xlab_fftbarotropic_tpu.models.shallow_water import (
+            ShallowWaterModel)
+        model = ShallowWaterModel.build(cfg)
+        z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+        src = None
+    else:
+        from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+        model = BarotropicModel.build(cfg)
+        z = model.init_state(makefields.gaussian(cfg))
+        src = jnp.zeros(cfg.grid_shape, jnp.float32)
+
+    # Timing contract: block_until_ready on a remote-device pytree can
+    # return before execution completes (observed through the device
+    # tunnel), so completion is forced by fetching a scalar checksum that
+    # data-depends on the full integration.
+    def checksum(state):
+        leaf = state[0] if isinstance(state, tuple) else state
+        return float(jnp.max(jnp.abs(leaf)))
 
     z_w = model.segment(z, src, steps)          # compile + warm-up
-    jax.block_until_ready(z_w)
+    c_w = checksum(z_w)
 
     t0 = time.perf_counter()
     z_t = model.segment(z, src, steps)
-    jax.block_until_ready(z_t)
+    c_t = checksum(z_t)
     dt = time.perf_counter() - t0
+    assert c_t == c_w, "nondeterministic segment result"
     return nx * nx * steps / dt
 
 
@@ -68,21 +84,24 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--oracle-nx", type=int, default=256)
     ap.add_argument("--oracle-steps", type=int, default=10)
+    ap.add_argument("--model", default="barotropic",
+                    choices=["barotropic", "sw", "shallow-water"])
     ap.add_argument("--quick", action="store_true",
                     help="small grid for smoke runs")
     args = ap.parse_args()
     if args.quick:
         args.nx, args.steps = 512, 10
 
-    gps = measure_tpu(args.nx, args.steps)
+    gps = measure_tpu(args.nx, args.steps, args.model)
     try:
         base = measure_oracle(args.oracle_nx, args.oracle_steps)
     except Exception as e:  # oracle failure must not kill the bench
         print(f"# oracle baseline failed: {e}", file=sys.stderr)
         base = None
 
+    tag = "" if args.model == "barotropic" else "_sw"
     out = {
-        "metric": f"rk4_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
+        "metric": f"rk4{tag}_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
         "value": round(gps, 1),
         "unit": "grid-points/s/chip",
         "vs_baseline": round(gps / base, 2) if base else None,

@@ -238,3 +238,18 @@ def test_profiling_utils():
     st = StepTimer(64 * 64)
     rec = st.lap(10)
     assert rec["steps_per_s"] > 0
+
+
+def test_runner_fd_core(tmp_path):
+    """The FD cross-check family runs through the same runner/recorder."""
+    import numpy as np
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.ic import makefields
+    cfg = ModelConfig(nx=32, ny=32, total_steps=10, record_step=5,
+                      output_dir=str(tmp_path / "out"))
+    r = runner.run(cfg, vort0=makefields.gaussian(cfg), model_kind="fd",
+                   manifest_path=str(tmp_path / "log"))
+    assert r.steps_run == 10
+    assert (tmp_path / "out" / "vort_step_5.bin").exists()
+    assert (tmp_path / "out" / "psi_step_5.bin").exists()
+    assert np.isfinite(np.asarray(r.zeta_hat[0])).all()

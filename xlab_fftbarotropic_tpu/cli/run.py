@@ -22,7 +22,7 @@ def main(argv=None):
         description="Barotropic vorticity model run (TPU-native)")
     add_config_args(p)
     p.add_argument("-m", "--model", default="barotropic",
-                   choices=["barotropic", "bt", "shallow-water", "sw"],
+                   choices=["barotropic", "bt", "shallow-water", "sw", "fd", "jacobian"],
                    help="model family: barotropic vorticity (reference "
                         "parity) or rotating shallow water (new)")
     p.add_argument("-s", "--script", default=None, metavar="RECIPE",

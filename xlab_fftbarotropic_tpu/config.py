@@ -129,8 +129,10 @@ class ModelConfig:
         return cls(**json.loads(s))
 
     # fields that do NOT affect the numerics — excluded from the restart
-    # hash so a resume into a different directory is legal
-    _PATH_FIELDS = ("input_dir", "output_dir", "init_file")
+    # hash so a resume into a different directory or with different
+    # record/checkpoint cadences is legal
+    _PATH_FIELDS = ("input_dir", "output_dir", "init_file",
+                    "record_step", "checkpoint_step")
 
     def config_hash(self) -> str:
         """Stable hash used to stamp checkpoints for restart validation.

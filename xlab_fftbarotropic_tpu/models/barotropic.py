@@ -160,27 +160,38 @@ class BarotropicModel:
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
 
+        # The coefficient tables are passed as jit ARGUMENTS (bound via
+        # partial), not closed over: closure arrays get embedded as MLIR
+        # constants, which forces a device->host fetch at lowering time —
+        # slow, bloats the executable, and unsupported over remote-device
+        # tunnels for large buffers.
         @jax.jit
-        def step(zeta_hat, src):
+        def step_(t, zeta_hat, src):
             return rk4_step(t, zeta_hat, src, dt, nu, g)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment(zeta_hat, src, n_steps: int):
+        def segment_(t, zeta_hat, src, n_steps: int):
             def body(z, _):
                 return rk4_step(t, z, src, dt, nu, g), None
             z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
             return z
 
         @jax.jit
-        def diags(zeta_hat):
+        def diags_(t, zeta_hat):
             return diag_fields(t, zeta_hat, g)
 
         @jax.jit
-        def stats(zeta_hat):
+        def stats_(t, zeta_hat):
             return step_stats(t, zeta_hat, cfg)
 
-        return cls(cfg=cfg, tables=t, step=step, segment=segment,
-                   diags=diags, stats=stats)
+        def segment(zeta_hat, src, n_steps: int):
+            return segment_(t, zeta_hat, src, n_steps)
+
+        return cls(cfg=cfg, tables=t,
+                   step=functools.partial(step_, t),
+                   segment=segment,
+                   diags=functools.partial(diags_, t),
+                   stats=functools.partial(stats_, t))
 
     def init_state(self, vort0) -> jax.Array:
         """Physical initial vorticity -> spectral state (main.cpp:256)."""

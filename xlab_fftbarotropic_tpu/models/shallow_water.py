@@ -186,12 +186,15 @@ class ShallowWaterModel:
 
         H = float(cfg.mean_depth)
 
+        # Tables are jit ARGUMENTS bound via partial, not closure constants
+        # (see models/barotropic.py note: avoids lowering-time device
+        # fetches and executable bloat).
         @jax.jit
-        def step(s: SWState, src):
+        def step_(t, s: SWState, src):
             return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment(s: SWState, src, n_steps: int):
+        def segment_(t, s: SWState, src, n_steps: int):
             def body(state, _):
                 return rk4_step(t, state, src, dt, f, grav, nu, H,
                                 g_shape), None
@@ -199,7 +202,7 @@ class ShallowWaterModel:
             return out
 
         @jax.jit
-        def diags(s: SWState) -> SWDiagFields:
+        def diags_(t, s: SWState) -> SWDiagFields:
             u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
             psi_hat = sp.invert_laplacian(t, s.zeta_hat)
             return SWDiagFields(
@@ -212,8 +215,8 @@ class ShallowWaterModel:
             )
 
         @jax.jit
-        def stats(s: SWState) -> SWStats:
-            d = diags(s)
+        def stats_(t, s: SWState) -> SWStats:
+            d = diags_(t, s)
             q_pot = (d.vort + f) / d.h
             ke = 0.5 * d.h * (d.u * d.u + d.v * d.v)
             pe = 0.5 * grav * d.h * d.h
@@ -226,8 +229,14 @@ class ShallowWaterModel:
                 * dt,
             )
 
-        return cls(cfg=cfg, tables=t, step=step, segment=segment,
-                   diags=diags, stats=stats)
+        def segment(s, src, n_steps: int):
+            return segment_(t, s, src, n_steps)
+
+        return cls(cfg=cfg, tables=t,
+                   step=functools.partial(step_, t),
+                   segment=segment,
+                   diags=functools.partial(diags_, t),
+                   stats=functools.partial(stats_, t))
 
     # ----- state construction -----
     def init_state(self, vort0, div0=None, h0=None) -> SWState:

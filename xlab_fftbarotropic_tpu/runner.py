@@ -117,12 +117,55 @@ class _ShallowWaterAdapter:
         return SWState(*(jnp.asarray(a) for a in packed))
 
 
+class _FDAdapter:
+    """Finite-difference cross-check core (models/fd_core.py): state is
+    (physical zeta, carried psi)."""
+
+    kind = "fd"
+
+    def __init__(self, cfg, model=None):
+        from .models.fd_core import FDBarotropicModel
+        self.cfg = cfg
+        self.model = model or FDBarotropicModel.build(cfg)
+
+    def init_from_physical(self, vort0):
+        z = jnp.asarray(vort0, jnp.float32)
+        return (z, self.model.init_psi(z))
+
+    def step(self, state, src):
+        return self.model.step(state[0], state[1], src)
+
+    def segment(self, state, src, n):
+        return self.model.segment(state[0], state[1], src, n)
+
+    def record_fields(self, state):
+        from .models.fd_core import gradients, poisson_fft
+        z, _ = state
+        psi = poisson_fft(z, self.cfg.dx, self.cfg.dy)
+        u, v = gradients(psi, self.cfg.dx, self.cfg.dy)
+        return dict(vort=np.asarray(z), psi=np.asarray(psi),
+                    u=np.asarray(u), v=np.asarray(v))
+
+    def stats(self, state):
+        z = np.asarray(state[0])
+        return dict(max_abs_vort=float(np.abs(z).max()),
+                    enstrophy=float(0.5 * np.mean(z * z)))
+
+    def pack(self, state):
+        return np.stack([np.asarray(a) for a in state])
+
+    def unpack(self, packed):
+        return (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+
+
 def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
                  model=None):
     if model_kind in ("barotropic", "bt"):
         return _BarotropicAdapter(cfg, model)
     if model_kind in ("shallow-water", "sw"):
         return _ShallowWaterAdapter(cfg, model)
+    if model_kind in ("fd", "jacobian"):
+        return _FDAdapter(cfg, model)
     raise ValueError(f"unknown model kind {model_kind!r}")
 
 
@@ -149,7 +192,8 @@ def run(cfg: ModelConfig,
 
     start_step = 0
     if resume_from is not None:
-        state_np, start_step, _ = load_checkpoint(resume_from, cfg)
+        state_np, start_step, _ = load_checkpoint(resume_from, cfg,
+                                                  kind=adapter.kind)
         state = adapter.unpack(state_np)
     else:
         if vort0 is None:
@@ -190,7 +234,8 @@ def run(cfg: ModelConfig,
         if cfg.checkpoint_step and step % cfg.checkpoint_step == 0 and \
                 step > start_step:
             save_checkpoint(Path(cfg.output_dir) / f"ckpt_step_{step}.npz",
-                            cfg, adapter.pack(state), step)
+                            cfg, adapter.pack(state), step,
+                            kind=adapter.kind)
 
         if per_step:
             # main-shallow-water.cpp:304 — source read precedes the step.
