@@ -253,3 +253,27 @@ def test_runner_fd_core(tmp_path):
     assert (tmp_path / "out" / "vort_step_5.bin").exists()
     assert (tmp_path / "out" / "psi_step_5.bin").exists()
     assert np.isfinite(np.asarray(r.zeta_hat[0])).all()
+
+
+def test_runner_sharded_matches_single(tmp_path):
+    """--shard path: the sharded run's recorded fields match the
+    single-device run's to float32 tolerance (8 virtual devices)."""
+    import jax
+    import numpy as np
+    if len(jax.devices()) < 2:
+        import pytest as _p
+        _p.skip("needs multiple devices")
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.io.fieldio import read_field
+    cfg = ModelConfig(nx=64, ny=64, total_steps=10, record_step=5)
+    vort0 = makefields.gaussian(cfg)
+    r1 = runner.run(cfg.replace(output_dir=str(tmp_path / "a")), vort0=vort0,
+                    manifest_path=str(tmp_path / "la"), collect_stats=False)
+    r2 = runner.run(cfg.replace(output_dir=str(tmp_path / "b")), vort0=vort0,
+                    manifest_path=str(tmp_path / "lb"), shard=True,
+                    collect_stats=False)
+    assert r2.steps_run == 10
+    a = read_field(tmp_path / "a" / "vort_step_5.bin", cfg.grid_shape)
+    b = read_field(tmp_path / "b" / "vort_step_5.bin", cfg.grid_shape)
+    np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * np.abs(a).max())

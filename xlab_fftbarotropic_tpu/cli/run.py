@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--manifest", default="log",
                    help="manifest path (the reference's `log` file)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the run over ALL local devices "
+                        "(slab decomposition; barotropic and sw only)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -67,7 +70,7 @@ def main(argv=None):
     result = run(cfg, recipe=recipe, src_path=src_path,
                  record=not args.no_record, manifest_path=args.manifest,
                  progress=True, resume_from=args.resume_from,
-                 model_kind=args.model)
+                 model_kind=args.model, shard=args.shard)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

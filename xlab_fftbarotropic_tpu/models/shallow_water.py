@@ -83,11 +83,13 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              inv: Callable = fft.inverse) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
 
-    On the default single-device FFT path the 4 inverse and 4 of the 5
-    forward transforms are Hermitian-PAIRED into complex c2c transforms
-    (ops/fft.py:inverse_pair/forward_pair), cutting the per-stage FFT count
-    from 10 real-transform units to ~5 — measured ~15%/pair-site gain on
-    TPU (see models/barotropic.py note).
+    On the default single-device FFT path the 4 inverse transforms are
+    Hermitian-PAIRED into 2 complex c2c transforms (ops/fft.py:inverse_pair
+    — the optimization measured +15% on the barotropic core). The forward
+    transforms stay UNPAIRED: forward_pair's conj(C(-k)) gather compiles
+    pathologically on the current TPU backend (observed compile hang at
+    4096^2); it remains available and CPU-tested in ops/fft.py for when
+    the backend supports it.
     """
     u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
     paired = (fwd is fft.forward and inv is fft.inverse)
@@ -101,14 +103,10 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         eta = inv(s.eta_hat, grid_shape)
 
     q = zeta + f                       # absolute vorticity (f-plane)
-    if paired:
-        qu_hat, qv_hat = fft.forward_pair(q * u, q * v)
-        eu_hat, ev_hat = fft.forward_pair(eta * u, eta * v)
-    else:
-        qu_hat = fwd(q * u)
-        qv_hat = fwd(q * v)
-        eu_hat = fwd(eta * u)
-        ev_hat = fwd(eta * v)
+    qu_hat = fwd(q * u)
+    qv_hat = fwd(q * v)
+    eu_hat = fwd(eta * u)
+    ev_hat = fwd(eta * v)
     # Bernoulli: g*eta + kinetic energy (pointwise, fused)
     phi_hat = fwd(g * eta + 0.5 * (u * u + v * v))
 

@@ -103,9 +103,15 @@ def forward_pair(a: jax.Array, b: jax.Array) -> tuple:
     nx, ny = a.shape
     hny = ny // 2 + 1
     c = jnp.fft.fft2(a + 1j * b)
-    # conj(C(-k)) on the half axis: flip both axes then shift by one
-    c_neg = jnp.conj(
-        jnp.roll(c[::-1, ::-1], shift=(1, 1), axis=(0, 1)))[:, :hny]
+    # conj(C(-k)) on the half axis: flip both axes then shift by one.
+    # The flip runs on the float32 real/imag planes — reverse/roll of a
+    # large full complex array is not implemented by the TPU backend.
+    cr, ci = jnp.real(c), jnp.imag(c)
+
+    def negk(x):
+        return jnp.roll(x[::-1, ::-1], shift=(1, 1), axis=(0, 1))[:, :hny]
+
+    c_neg = jax.lax.complex(negk(cr), -negk(ci))
     c = c[:, :hny]
     spec_a = 0.5 * (c + c_neg)
     spec_b = -0.5j * (c - c_neg)

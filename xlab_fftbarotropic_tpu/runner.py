@@ -66,6 +66,8 @@ class _BarotropicAdapter:
                     u=np.asarray(d.u), v=np.asarray(d.v))
 
     def stats(self, state):
+        if not hasattr(self.model, "stats"):   # sharded models: skip
+            return {}
         s = self.model.stats(state)
         return dict(max_abs_vort=float(s.max_abs_vort),
                     energy=float(s.energy),
@@ -75,6 +77,8 @@ class _BarotropicAdapter:
         return np.asarray(state)
 
     def unpack(self, packed):
+        if hasattr(self.model, "shard_spectral"):
+            return self.model.shard_spectral(packed)
         return jnp.asarray(packed)
 
 
@@ -104,6 +108,8 @@ class _ShallowWaterAdapter:
                     div=np.asarray(d.div), h=np.asarray(d.h))
 
     def stats(self, state):
+        if not hasattr(self.model, "stats"):   # sharded models: skip
+            return {}
         s = self.model.stats(state)
         return dict(mass=float(s.mass), energy=float(s.energy),
                     pot_enstrophy=float(s.pot_enstrophy),
@@ -114,7 +120,10 @@ class _ShallowWaterAdapter:
 
     def unpack(self, packed):
         from .models.shallow_water import SWState
-        return SWState(*(jnp.asarray(a) for a in packed))
+        st = SWState(*(jnp.asarray(a) for a in packed))
+        if hasattr(self.model, "shard_state"):
+            return self.model.shard_state(st)
+        return st
 
 
 class _FDAdapter:
@@ -159,7 +168,18 @@ class _FDAdapter:
 
 
 def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
-                 model=None):
+                 model=None, shard: bool = False):
+    if shard and model is None:
+        from .parallel import (ShardedBarotropicModel,
+                               ShardedShallowWaterModel, make_mesh)
+        mesh = make_mesh()
+        if model_kind in ("barotropic", "bt"):
+            model = ShardedBarotropicModel.build(cfg, mesh)
+        elif model_kind in ("shallow-water", "sw"):
+            model = ShardedShallowWaterModel.build(cfg, mesh)
+        else:
+            raise ValueError(
+                f"--shard is not supported for model kind {model_kind!r}")
     if model_kind in ("barotropic", "bt"):
         return _BarotropicAdapter(cfg, model)
     if model_kind in ("shallow-water", "sw"):
@@ -179,6 +199,7 @@ def run(cfg: ModelConfig,
         resume_from=None,
         model: Optional[BarotropicModel] = None,
         model_kind: str = "barotropic",
+        shard: bool = False,
         collect_stats: bool = True,
         check_finite: bool = True) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
@@ -188,7 +209,7 @@ def run(cfg: ModelConfig,
     model_kind: 'barotropic' (default) or 'shallow-water' — the SW family
     starts from geostrophically balanced height/zero divergence.
     """
-    adapter = make_adapter(cfg, model_kind, model)
+    adapter = make_adapter(cfg, model_kind, model, shard=shard)
 
     start_step = 0
     if resume_from is not None:
