@@ -1,0 +1,87 @@
+"""Model-level A/B of FFT backends (xla vs mxu) on the barotropic core.
+
+One process, both variants (the first device fetch of a process through
+the tunnel can cost minutes — batch measurements). Timing contract as in
+bench.py: scan-inside-jit segments, completion forced by scalar checksum.
+
+Usage: python scripts/ab_fft_backend.py [--nx 4096] [--steps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--backends", nargs="+", default=["xla", "mxu"])
+    ap.add_argument("--model", default="barotropic",
+                    choices=["barotropic", "sw"])
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+
+    def progress(*a):
+        print(time.strftime("%H:%M:%S"), *a, file=sys.stderr)
+        sys.stderr.flush()
+
+    progress("warming backend:",
+             float(jnp.max(jnp.zeros((8,), jnp.float32))))
+
+    # gaussian IC (bench.py's config): kuo2004's 75 m/s peak wind violates
+    # CFL at 4096^2 with the default dt and the segment goes NaN
+    cfg0 = ModelConfig(nx=args.nx, ny=args.nx)
+    results = {}
+    for name in args.backends:
+        cfg = cfg0.replace(fft_backend=name)
+        if args.model == "sw":
+            from xlab_fftbarotropic_tpu.models.shallow_water import (
+                ShallowWaterModel)
+            model = ShallowWaterModel.build(cfg)
+            z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+            src = None
+        else:
+            model = BarotropicModel.build(cfg)
+            z = model.init_state(makefields.gaussian(cfg))
+            src = jnp.zeros(cfg.grid_shape, jnp.float32)
+        import jax
+
+        def checksum(state):
+            leaf = jax.tree_util.tree_leaves(state)[0]
+            return float(jnp.max(jnp.real(leaf)))
+
+        progress(name, "compiling")
+        zw = model.segment(z, src, args.steps)
+        cw = checksum(zw)
+        progress(name, "warm, checksum", cw)
+        t0 = time.perf_counter()
+        zt = model.segment(z, src, args.steps)
+        ct = checksum(zt)
+        dt = time.perf_counter() - t0
+        assert ct == cw, "nondeterministic segment"
+        gps = args.nx * args.nx * args.steps / dt
+        results[name] = gps
+        print(json.dumps({"backend": name, "nx": args.nx,
+                          "ms_per_step": round(dt / args.steps * 1e3, 2),
+                          "gp_per_s": round(gps, 0)}))
+        sys.stdout.flush()
+    if len(results) > 1 and "xla" in results:
+        base = results["xla"]
+        for k, v in results.items():
+            if k != "xla":
+                print(json.dumps({"speedup_vs_xla": {k: round(v / base, 3)}}))
+
+
+if __name__ == "__main__":
+    main()

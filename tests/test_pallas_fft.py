@@ -1,0 +1,82 @@
+"""Fused Pallas FFT pipeline (ops/pallas_fft.py) vs numpy, in interpret
+mode (CPU). Kernel math — four-step digit splits, mixed-domain partial
+Hermitian sums, transposed writes — must reproduce the library transforms
+to float32 round-off, and the whole RK4 core must follow the jnp.fft
+trajectory."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xlab_fftbarotropic_tpu.config import ModelConfig
+from xlab_fftbarotropic_tpu.ic import makefields
+from xlab_fftbarotropic_tpu.ops import pallas_fft as pf
+
+
+def _rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+
+
+@pytest.mark.parametrize("n", [128, 256, 512])
+def test_rfft2_matches_numpy(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    assert _rel(np.fft.rfft2(x), pf.rfft2(jnp.asarray(x))) < 2e-6
+
+
+@pytest.mark.parametrize("n", [128, 512])
+def test_inverse_pair_matches_numpy(n):
+    rng = np.random.default_rng(n + 1)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = rng.standard_normal((n, n)).astype(np.float32)
+    sa = jnp.asarray(np.fft.rfft2(a).astype(np.complex64))
+    sb = jnp.asarray(np.fft.rfft2(b).astype(np.complex64))
+    ga, gb = pf.inverse_pair(sa, sb, (n, n))
+    assert _rel(a, ga) < 2e-6
+    assert _rel(b, gb) < 2e-6
+
+
+def test_irfft2_matches_numpy():
+    n = 256
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    spec = np.fft.rfft2(a).astype(np.complex64)
+    assert _rel(np.fft.irfft2(spec, s=(n, n)),
+                pf.irfft2(jnp.asarray(spec), (n, n))) < 2e-6
+
+
+def test_nyquist_leak_guard():
+    """Non-Hermitian content in the self-conjugate columns (the
+    positive-Nyquist gradient convention, SURVEY.md §5.3) must be
+    projected out, not leaked into the paired field."""
+    n = 128
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    sa = np.fft.rfft2(a).astype(np.complex64)
+    # poison the self-conjugate columns with non-Hermitian junk
+    sa_p = sa.copy()
+    sa_p[:, 0] += (0.3 + 0.7j) * rng.standard_normal(n).astype(np.float32)
+    sa_p[:, n // 2] += (0.1 - 0.4j) * rng.standard_normal(n).astype(
+        np.float32)
+    ref = np.fft.irfft2(sa_p, s=(n, n))       # numpy projects implicitly
+    ga, gb = pf.inverse_pair(jnp.asarray(sa_p),
+                             jnp.asarray(np.zeros_like(sa_p)), (n, n))
+    assert _rel(ref, ga) < 2e-5
+    assert np.max(np.abs(np.asarray(gb))) < 1e-5 * np.max(np.abs(ref))
+
+
+def test_rk4_trajectory_equivalence():
+    """20 RK4 steps on the pallas backend vs the jnp.fft core."""
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+
+    cfg = ModelConfig(nx=128, ny=128)
+    v0 = makefields.kuo2004(cfg)
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    m_ref = BarotropicModel.build(cfg)
+    m_pal = BarotropicModel.build(cfg.replace(fft_backend="pallas"))
+    z_ref = m_ref.segment(m_ref.init_state(v0), src, 20)
+    z_pal = m_pal.segment(m_pal.init_state(v0), src, 20)
+    a = np.asarray(jnp.fft.irfft2(z_ref, s=cfg.grid_shape))
+    b = np.asarray(jnp.fft.irfft2(z_pal, s=cfg.grid_shape))
+    assert np.max(np.abs(a - b)) < 1e-6 * max(1.0, np.max(np.abs(a)))

@@ -68,6 +68,20 @@ class ModelConfig:
     mean_depth: float = 1000.0
     # checkpoint cadence in steps; 0 disables
     checkpoint_step: int = 0
+    # FFT implementation for the single-device hot path:
+    #   'auto'   — 'pallas' on TPU for supported grids, else 'xla'
+    #   'xla'    — XLA's native FFT lowering (jnp.fft)
+    #   'mxu'    — matmul four-step FFT via einsum (ops/mxu_fft.py;
+    #              power-of-two grids only)
+    #   'pallas' — fused Pallas kernel pipeline, one HBM round-trip per
+    #              transform stage (ops/pallas_fft.py; power-of-two
+    #              square grids >= 256; measured 1.48x the XLA core at
+    #              4096^2 on v5e; interpret-mode on CPU)
+    # All satisfy the same normalization contract; trajectories agree to
+    # float32 round-off (tests/test_mxu_fft.py, test_pallas_fft.py), so
+    # resuming a checkpoint under another backend is legal and the
+    # restart hash excludes this.
+    fft_backend: str = "auto"
 
     # ----- derived quantities -----
     @property
@@ -132,7 +146,7 @@ class ModelConfig:
     # hash so a resume into a different directory or with different
     # record/checkpoint cadences is legal
     _PATH_FIELDS = ("input_dir", "output_dir", "init_file",
-                    "record_step", "checkpoint_step")
+                    "record_step", "checkpoint_step", "fft_backend")
 
     def config_hash(self) -> str:
         """Stable hash used to stamp checkpoints for restart validation.
@@ -171,6 +185,9 @@ def add_config_args(parser, defaults: Optional[ModelConfig] = None):
     parser.add_argument("--checkpoint-step", type=int, default=d.checkpoint_step)
     parser.add_argument("--dealias-rule", choices=["circular", "twothirds"],
                         default=d.dealias_rule)
+    parser.add_argument("--fft-backend",
+                        choices=["auto", "xla", "mxu", "pallas"],
+                        default=d.fft_backend)
     return parser
 
 

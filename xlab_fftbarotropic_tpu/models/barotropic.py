@@ -32,6 +32,38 @@ from ..ops import spectral as sp
 from ..ops.spectral import SpectralTables
 
 
+def resolve_fft_backend(name: str, grid_shape=None):
+    """(forward, inverse, inverse_pair) for a ModelConfig.fft_backend name.
+
+    'xla' is jnp.fft (ops/fft.py); 'mxu' is the einsum matmul four-step
+    FFT (ops/mxu_fft.py); 'pallas' is the fused VMEM-resident kernel
+    pipeline (ops/pallas_fft.py — measured 1.48x the XLA core at 4096^2).
+    'auto' picks 'pallas' on a real TPU backend for the grids it supports
+    (power-of-two square, >= 256) and 'xla' everywhere else. All honor
+    the FFTW normalization contract (SURVEY.md §5.2) and agree to float32
+    round-off.
+    """
+    if name == "auto":
+        nx, ny = (grid_shape if grid_shape is not None else (0, 0))
+        pallas_ok = (nx == ny and nx >= 256 and nx & (nx - 1) == 0)
+        if pallas_ok and jax.default_backend() == "tpu":
+            name = "pallas"
+        else:
+            name = "xla"
+    if name == "mxu":
+        from ..ops import mxu_fft
+        return (mxu_fft.rfft2,
+                lambda s, g: mxu_fft.irfft2(s, s=g),
+                mxu_fft.inverse_pair)
+    if name == "pallas":
+        from ..ops import pallas_fft
+        return (pallas_fft.rfft2, pallas_fft.irfft2,
+                pallas_fft.inverse_pair)
+    if name == "xla":
+        return fft.forward, fft.inverse, fft.inverse_pair
+    raise ValueError(f"unknown fft_backend: {name!r}")
+
+
 class DiagFields(NamedTuple):
     """Physical-space fields recorded every record_step (SURVEY.md §5.9)."""
     vort: jax.Array
@@ -43,7 +75,8 @@ class DiagFields(NamedTuple):
 def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              nu: float, grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
-             inv: Callable = fft.inverse) -> jax.Array:
+             inv: Callable = fft.inverse,
+             inv_pair: Optional[Callable] = None) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
@@ -61,12 +94,14 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     """
     lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
     psi_hat = sp.invert_laplacian(t, zeta_hat)       # main.cpp:179
-    if inv is fft.inverse:
+    if inv_pair is None and inv is fft.inverse:
+        inv_pair = fft.inverse_pair
+    if inv_pair is not None:
         # zeta_x, zeta_y (main.cpp:151-168) | u=-psi_y, v=psi_x (:198-214)
-        dvdx, dvdy = fft.inverse_pair(sp.gradx(t, zeta_hat),
-                                      sp.grady(t, zeta_hat), grid_shape)
-        u, v = fft.inverse_pair(-sp.grady(t, psi_hat),
-                                sp.gradx(t, psi_hat), grid_shape)
+        dvdx, dvdy = inv_pair(sp.gradx(t, zeta_hat),
+                              sp.grady(t, zeta_hat), grid_shape)
+        u, v = inv_pair(-sp.grady(t, psi_hat),
+                        sp.gradx(t, psi_hat), grid_shape)
     else:
         dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
         dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
@@ -80,7 +115,8 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
 def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              dt: float, nu: float, grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
-             inv: Callable = fft.inverse) -> jax.Array:
+             inv: Callable = fft.inverse,
+             inv_pair: Optional[Callable] = None) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
@@ -88,7 +124,7 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     step by the caller (main-shallow-water.cpp:304).
     """
     d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
-                          fwd=fwd, inv=inv)
+                          fwd=fwd, inv=inv, inv_pair=inv_pair)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
@@ -159,6 +195,7 @@ class BarotropicModel:
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
+        fwd, inv, inv_pair = resolve_fft_backend(cfg.fft_backend, g)
 
         # The coefficient tables are passed as jit ARGUMENTS (bound via
         # partial), not closed over: closure arrays get embedded as MLIR
@@ -167,12 +204,14 @@ class BarotropicModel:
         # tunnels for large buffers.
         @jax.jit
         def step_(t, zeta_hat, src):
-            return rk4_step(t, zeta_hat, src, dt, nu, g)
+            return rk4_step(t, zeta_hat, src, dt, nu, g,
+                            fwd=fwd, inv=inv, inv_pair=inv_pair)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def segment_(t, zeta_hat, src, n_steps: int):
             def body(z, _):
-                return rk4_step(t, z, src, dt, nu, g), None
+                return rk4_step(t, z, src, dt, nu, g,
+                                fwd=fwd, inv=inv, inv_pair=inv_pair), None
             z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
             return z
 

@@ -80,7 +80,8 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              f: float, g: float, nu: float, mean_depth: float,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
-             inv: Callable = fft.inverse) -> SWState:
+             inv: Callable = fft.inverse,
+             inv_pair: Optional[Callable] = None) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
 
     On the default single-device FFT path the 4 inverse transforms are
@@ -92,10 +93,11 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
     the backend supports it.
     """
     u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
-    paired = (fwd is fft.forward and inv is fft.inverse)
-    if paired:
-        u, v = fft.inverse_pair(u_hat, v_hat, grid_shape)
-        zeta, eta = fft.inverse_pair(s.zeta_hat, s.eta_hat, grid_shape)
+    if inv_pair is None and inv is fft.inverse:
+        inv_pair = fft.inverse_pair
+    if inv_pair is not None:
+        u, v = inv_pair(u_hat, v_hat, grid_shape)
+        zeta, eta = inv_pair(s.zeta_hat, s.eta_hat, grid_shape)
     else:
         u = inv(u_hat, grid_shape)
         v = inv(v_hat, grid_shape)
@@ -133,12 +135,14 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
              dt: float, f: float, g: float, nu: float, mean_depth: float,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
-             inv: Callable = fft.inverse) -> SWState:
+             inv: Callable = fft.inverse,
+             inv_pair: Optional[Callable] = None) -> SWState:
     """Classic RK4 with per-stage dealiased tendencies — the same stepping
     contract as the barotropic core (main.cpp:286-317)."""
     d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
                           mean_depth=mean_depth,
-                          grid_shape=grid_shape, fwd=fwd, inv=inv)
+                          grid_shape=grid_shape, fwd=fwd, inv=inv,
+                          inv_pair=inv_pair)
     k1 = _dealias_state(t, d(s))
     k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
     k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
@@ -184,18 +188,23 @@ class ShallowWaterModel:
 
         H = float(cfg.mean_depth)
 
+        from .barotropic import resolve_fft_backend
+        fwd, inv, inv_pair = resolve_fft_backend(cfg.fft_backend, g_shape)
+
         # Tables are jit ARGUMENTS bound via partial, not closure constants
         # (see models/barotropic.py note: avoids lowering-time device
         # fetches and executable bloat).
         @jax.jit
         def step_(t, s: SWState, src):
-            return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape)
+            return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
+                            fwd=fwd, inv=inv, inv_pair=inv_pair)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def segment_(t, s: SWState, src, n_steps: int):
             def body(state, _):
                 return rk4_step(t, state, src, dt, f, grav, nu, H,
-                                g_shape), None
+                                g_shape, fwd=fwd, inv=inv,
+                                inv_pair=inv_pair), None
             out, _ = jax.lax.scan(body, s, None, length=n_steps)
             return out
 

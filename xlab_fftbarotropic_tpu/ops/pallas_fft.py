@@ -1,0 +1,480 @@
+"""Fused Pallas TPU FFT pipeline for the pseudo-spectral hot path.
+
+Why this exists: the model step at 4096^2 is entirely transform-bound
+(BASELINE.md breakdown), and both XLA's FFT and the einsum four-step
+(ops/mxu_fft.py) run ~5-8 HBM round-trips per transform — every stage
+(matmul, twiddle, digit swap, Hermitian extension) materializes a
+128 MB intermediate. These kernels keep a whole column-block pipeline
+resident in VMEM, so each 1-D transform stage costs exactly one HBM read
+and one HBM write, with the matmuls, twiddles, digit swaps, Hermitian
+logic, and layout transposes all fused in between.
+
+Design rules (all kernels):
+
+* Contractions run along SUBLANES (axis 0) only — every lane (column) is
+  independent through the whole pipeline, so column-blocking is trivially
+  correct and out-of-bounds lane padding is harmless garbage that never
+  lands (OOB writes are dropped).
+* The four-step factorization n = a*b (j = j1*b + j2) is computed as two
+  stacked real matmuls per complex matmul on (a, b*BM)-shaped views; the
+  digit-swap and the inter-axis TRANSPOSE are folded into the output
+  write (out_specs index over the transposed array), so the y-stage reads
+  exactly what the x-stage wrote with no standalone transpose pass.
+* complex64 never appears inside a kernel (not Mosaic-native): all data
+  moves as separate (re, im) float32 planes.
+* The c2r y-stage needs no Hermitian extension: with the half-spectrum
+  rows p = w[0..ny/2] and their conjugates q = conj(w[1..ny/2-1]), the
+  full inverse sum splits as PartialIDFT(p) + PartialDFT(q); both
+  partial transforms share their final-stage matmul (one 128-wide
+  contraction), and the Nyquist row reduces to a (-1)^y rank-1 update.
+  The self-conjugate rows j=0, ny/2 are projected to their real part
+  first — the positive-Nyquist leak guard (see ops/fft.py:_hermitian_full
+  and SURVEY.md §5.3).
+* A PAIR of real fields shares one complex y-stage (pack a + i*b in
+  VMEM), exactly like ops/fft.py:inverse_pair but without materializing
+  any full 2-D spectrum.
+
+Transform plan (per call):
+
+  inverse_pair(Sa, Sb):  [spectral (nx, hny) -> real (nx, ny) x2]
+      KA(inv, transpose-write)   x2  : S -> w^T (hny, nx)
+      KB(pair y-stage, transpose-write): w^T x2 -> a, b (nx, ny)
+  rfft2(f):              [real (nx, ny) -> spectral (nx, hny)]
+      KA(fwd, real-in, transpose-write): f -> F1^T (ny, nx)
+      KC(fwd partial y-stage, transpose-write): F1^T -> S (nx, hny)
+
+Every kernel is verified against numpy in interpret mode
+(tests/test_pallas_fft.py) and the whole RK4 trajectory is pinned against
+the jnp.fft core. Power-of-two square grids (>= 256 on hardware; the
+block width is 128 lanes).
+
+Reference: replaces the serial FFTW3f plans of
+/root/reference/src/main.cpp:126-135 on the single-chip TPU hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# lane width of one kernel invocation's column block (Mosaic requires a
+# multiple of 128 for blocked lane dims)
+BLOCK = 128
+
+# raise the scoped-VMEM budget above the 16 MB flag default: the fused
+# KA pipeline's live set (in + out + matmul temps) peaks at ~16.04 MB at
+# 4096^2 with BLOCK=128
+_COMPILER_PARAMS = None
+
+
+def _compiler_params():
+    global _COMPILER_PARAMS
+    if _COMPILER_PARAMS is None:
+        _COMPILER_PARAMS = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return _COMPILER_PARAMS
+
+# matmul precision inside kernels; HIGHEST = float32-accurate
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _split(n: int) -> Tuple[int, int]:
+    if n & (n - 1) or n < 16:
+        raise ValueError(f"pallas FFT requires power-of-two length >= 16, "
+                         f"got {n}")
+    log = n.bit_length() - 1
+    a = 1 << (log - log // 2)
+    return a, n // a
+
+
+def _dot(lhs, rhs, dims):
+    return jax.lax.dot_general(lhs, rhs, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=PRECISION)
+
+
+def _cmatmul_left(fr, fi, xr, xi):
+    """(fr + i fi) @ (xr + i xi) -> (re, im); plain 2-D matmuls."""
+    rr = _dot(fr, xr, ((1,), (0,)))
+    ri = _dot(fr, xi, ((1,), (0,)))
+    ir = _dot(fi, xr, ((1,), (0,)))
+    ii = _dot(fi, xi, ((1,), (0,)))
+    return rr - ii, ri + ir
+
+
+def _rmatmul_left(fr, fi, x):
+    """(fr + i fi) @ real x -> (re, im)."""
+    return _dot(fr, x, ((1,), (0,))), _dot(fi, x, ((1,), (0,)))
+
+
+# ---------------------------------------------------------------------------
+# KA: c2c (or r2c) DFT along axis 0, transposed write.
+# in  (n, m) planes, block (n, BLOCK)
+# out (m, n) planes, block (BLOCK, n)   [out[c, r] = y[r, c]]
+# ---------------------------------------------------------------------------
+
+def _ka_tables(n: int, forward: bool, scale: float = 1.0):
+    a, b = _split(n)
+    sign = -2j if forward else 2j
+    j1 = np.arange(a)
+    j2 = np.arange(b)
+    f_a = np.exp(sign * np.pi * np.outer(j1, j1) / a) * scale  # [k1, j1]
+    tw = np.exp(sign * np.pi * np.outer(j1, j2) / n)           # [k1, j2]
+    # stage-2 matrix pre-transposed: [k2, j2]
+    f_bt = np.exp(sign * np.pi * np.outer(j2, j2) / b)
+    f32 = np.float32
+    return (f_a.real.astype(f32), f_a.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32),
+            f_bt.real.astype(f32), f_bt.imag.astype(f32))
+
+
+def _ka_kernel(real_input: bool, n: int, *refs):
+    if real_input:
+        (xr_ref, far_ref, fai_ref, twr_ref, twi_ref,
+         fbr_ref, fbi_ref, or_ref, oi_ref) = refs
+    else:
+        (xr_ref, xi_ref, far_ref, fai_ref, twr_ref, twi_ref,
+         fbr_ref, fbi_ref, or_ref, oi_ref) = refs
+    a, b = _split(n)
+    m = xr_ref.shape[1]
+    # stage 1: contract j1 on the (a, b*m) view of the rows
+    if real_input:
+        x = xr_ref[:].reshape(a, b * m)
+        s1r, s1i = _rmatmul_left(far_ref[:], fai_ref[:], x)
+    else:
+        xr = xr_ref[:].reshape(a, b * m)
+        xi = xi_ref[:].reshape(a, b * m)
+        s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
+    # twiddle [k1, j2] on the (a, b, m) view
+    s1r = s1r.reshape(a, b, m)
+    s1i = s1i.reshape(a, b, m)
+    twr = twr_ref[:][:, :, None]
+    twi = twi_ref[:][:, :, None]
+    hr = s1r * twr - s1i * twi
+    hi = s1r * twi + s1i * twr
+    # stage 2: contract j2 with the pre-transposed [k2, j2] matrix;
+    # dot_general emits (k2, k1, m) — already digit-swap order k = k1+a*k2
+    def dot2(f, g):
+        return jax.lax.dot_general(
+            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION)
+    rr = dot2(fbr_ref[:], hr)
+    ri = dot2(fbr_ref[:], hi)
+    ir = dot2(fbi_ref[:], hr)
+    ii = dot2(fbi_ref[:], hi)
+    yr = (rr - ii).reshape(n, m)
+    yi = (ri + ir).reshape(n, m)
+    # transposed write: out block is (m, n)
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+def _ka_call(xr, xi, n_rows, forward, real_input, scale=1.0):
+    """Apply KA to (n_rows, m) planes; returns (m, n_rows) planes.
+
+    real_input=True transforms the single real plane xr (xi ignored)."""
+    m = xr.shape[1]
+    tables = [jnp.asarray(t) for t in _ka_tables(n_rows, forward, scale)]
+    grid = (pl.cdiv(m, BLOCK),)
+    in_spec = pl.BlockSpec((n_rows, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    out_spec = pl.BlockSpec((BLOCK, n_rows), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_ka_kernel, real_input, n_rows)
+    data = (xr,) if real_input else (xr, xi)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] * len(data) + tab_spec,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((m, n_rows), jnp.float32),
+                   jax.ShapeDtypeStruct((m, n_rows), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*data, *tables)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# KB: paired c2r y-stage. Inputs are the TRANSPOSED mixed-domain planes
+# w^T (hny, nx) for two fields; output the two real (nx, ny) fields —
+# the write is transposed back, so out rows are physical x.
+#
+# Math (per lane = one physical x column, contracting spectral rows):
+#   out = sum_{j=0}^{ny-1} full[j] e^{+2 pi i j y / ny}
+# with full[j] = p[j] (j <= ny/2), conj(p[ny-j]) mirrored above, done as
+#   PartialIDFT_{j in [0, 2048)}(p) + PartialDFT_{j in [0, 2048)}(q)
+#   + p[ny/2] * (-1)^y
+# where q[0] = 0, q[j] = conj(p[j]); p packs the two fields a + i b.
+# Digit split j = j1 + (ny/64) ... concretely j = j1 + A*j2 with A = 64,
+# j2 in [0, B2=2048/A); output y = y1 + 64*y2 (y1 in [64], y2 in [ny/64]):
+#   stage A: contract j2 with E1[y1, j2] = e^(s 2 pi i j2 y1 / 64)
+#   twiddle: TW[y1, j1] = e^(s 2 pi i j1 y1 / ny)
+#   stage C: contract j1 (p and q merged: 2*64 wide) with
+#            E2[y2, j1] = e^(s 2 pi i j1 y2 / (ny/64))
+# ---------------------------------------------------------------------------
+
+def _kb_split(ny: int) -> Tuple[int, int, int]:
+    """(A, M, b2): spectral digits j = j1 + A*j2 (j1 in [A], j2 in [b2]),
+    output digits y = y1 + M*y2 (y1 in [M], y2 in [A]); M = ny/A is even
+    for every power-of-two ny > A, which the (-1)^y = (-1)^y1 Nyquist
+    shortcut relies on."""
+    half = ny // 2
+    a = min(64, half)
+    return a, ny // a, half // a
+
+
+def _kb_tables(ny: int, scale: float):
+    """Tables for the merged p/q partial transforms (inverse sign for p,
+    forward sign for q), with the 1/(nx*ny) normalization folded in."""
+    a, m_dig, b2 = _kb_split(ny)
+    j1 = np.arange(a)
+    j2 = np.arange(b2)
+    y1 = np.arange(m_dig)
+    y2 = np.arange(a)
+    out = {}
+    for name, sign in (("p", 2j), ("q", -2j)):
+        # e^(s 2 pi i j2 y1 A / ny), e^(s 2 pi i j1 y1 / ny),
+        # e^(s 2 pi i j1 y2 M / ny) = e^(s 2 pi i j1 y2 / A)
+        e1 = np.exp(sign * np.pi * np.outer(y1, j2) * a / ny)   # [y1, j2]
+        tw = np.exp(sign * np.pi * np.outer(y1, j1) / ny)       # [y1, j1]
+        e2 = np.exp(sign * np.pi * np.outer(y2, j1) / a)        # [y2, j1]
+        out[name] = (e1, tw, e2)
+    f32 = np.float32
+    tabs = []
+    for name in ("p", "q"):
+        e1, tw, e2 = out[name]
+        tabs += [e1.real.astype(f32), e1.imag.astype(f32),
+                 tw.real.astype(f32), tw.imag.astype(f32)]
+    # merged stage-C matrix [y2, 2*A]: p block then q block, scaled
+    e2cat = np.concatenate([out["p"][2], out["q"][2]], axis=1) * scale
+    tabs += [e2cat.real.astype(f32), e2cat.imag.astype(f32)]
+    # (-1)^y depends only on y1 (M even); fold scale in
+    alt = ((-1.0) ** y1 * scale).astype(f32).reshape(m_dig, 1)
+    tabs.append(alt)
+    return tabs
+
+
+def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref,
+               e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
+               e1qr_ref, e1qi_ref, twqr_ref, twqi_ref,
+               e2r_ref, e2i_ref, alt_ref,
+               oa_ref, ob_ref):
+    a, _m_dig, b2 = _kb_split(ny)
+    m = war_ref.shape[1]
+    half = ny // 2
+
+    # load, project self-conjugate rows to their real part (leak guard)
+    war, wai = war_ref[0:half + 1, :], wai_ref[0:half + 1, :]
+    wbr, wbi = wbr_ref[0:half + 1, :], wbi_ref[0:half + 1, :]
+    zero_rows = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0)
+    selfconj = (zero_rows == 0) | (zero_rows == half)
+    wai = jnp.where(selfconj, 0.0, wai)
+    wbi = jnp.where(selfconj, 0.0, wbi)
+
+    # pack: p = wa + i wb ; q = conj(wa) + i conj(wb), q[0] = 0
+    p_r = war - wbi
+    p_i = wai + wbr
+    q_r = war + wbi
+    q_i = wbr - wai
+    row = zero_rows
+    q_r = jnp.where(row == 0, 0.0, q_r)
+    q_i = jnp.where(row == 0, 0.0, q_i)
+
+    def partial_stageA(cr, ci, e1r, e1i, twr, twi):
+        # rows [0, half) as (b2, a, m): j = j1 + a*j2 -> natural reshape
+        cr3 = cr[0:half, :].reshape(b2, a * m)
+        ci3 = ci[0:half, :].reshape(b2, a * m)
+        gr, gi = _cmatmul_left(e1r, e1i, cr3, ci3)     # [y1, a*m]
+        gr = gr.reshape(_m_dig, a, m)
+        gi = gi.reshape(_m_dig, a, m)
+        twr3 = twr[:, :, None]
+        twi3 = twi[:, :, None]
+        return gr * twr3 - gi * twi3, gr * twi3 + gi * twr3  # [y1, j1, m]
+
+    hpr, hpi = partial_stageA(p_r, p_i, e1pr_ref[:], e1pi_ref[:],
+                              twpr_ref[:], twpi_ref[:])
+    hqr, hqi = partial_stageA(q_r, q_i, e1qr_ref[:], e1qi_ref[:],
+                              twqr_ref[:], twqi_ref[:])
+    hr = jnp.concatenate([hpr, hqr], axis=1)           # [y1, 128, m]
+    hi = jnp.concatenate([hpi, hqi], axis=1)
+
+    # merged stage C: contract the 128-wide j1 axis with E2cat [y2, 128]
+    def dotc(f, g):
+        return jax.lax.dot_general(
+            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION)
+    rr = dotc(e2r_ref[:], hr)                          # [y2, y1, m]
+    ri = dotc(e2r_ref[:], hi)
+    ir = dotc(e2i_ref[:], hr)
+    ii = dotc(e2i_ref[:], hi)
+    outr = rr - ii
+    outi = ri + ir
+
+    # Nyquist rank-1 update: + p[half] * (-1)^y, (-1)^y = alt[y1]
+    alt = alt_ref[:]                                    # [64, 1] scaled
+    outr = outr + alt[None, :, :] * p_r[half, :][None, None, :]
+    outi = outi + alt[None, :, :] * p_i[half, :][None, None, :]
+
+    # y = y1 + 64*y2: (y2, y1) flatten order; transposed write (m, ny)
+    oa_ref[:] = outr.reshape(ny, m).T
+    ob_ref[:] = outi.reshape(ny, m).T
+
+
+def _kb_call(wat, wbt, ny: int, scale: float):
+    """wat/wbt: ((hny, nx) re, im) plane pairs. Returns a, b (nx, ny)."""
+    war, wai = wat
+    wbr, wbi = wbt
+    hny, nx = war.shape
+    tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
+    grid = (pl.cdiv(nx, BLOCK),)
+    in_spec = pl.BlockSpec((hny, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    out_spec = pl.BlockSpec((BLOCK, ny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kb_kernel, ny),
+        grid=grid,
+        in_specs=[in_spec] * 4 + tab_spec,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, ny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(war, wai, wbr, wbi, *tables)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# KC: forward partial y-stage. Input: F1^T (ny, nx) planes (x already
+# transformed, rows = physical y). Output: half-spectrum (nx, hny) planes
+# (transposed write). Rows k = k1 + 64*k2 computed for k <= ny/2 only:
+# full stage A/twiddle (64 x 64 digits), stage C restricted to
+# k2 in [0, B2] plus the explicit Nyquist row.
+# ---------------------------------------------------------------------------
+
+def _kc_tables(ny: int):
+    a = 64                      # k1 digit
+    b = ny // a                 # j2 digit of the INPUT split j = j1*b + j2
+    # forward: X[k] = sum_j x[j] e^(-2 pi i j k / ny); four-step with
+    # j = j1*b + j2: stage1 contract j1 (F_a[k1, j1], a x a), twiddle
+    # [k1, j2], stage2 contract j2 restricted to k2 rows [0, ny/(2a)]
+    j1 = np.arange(a)
+    j2 = np.arange(b)
+    k2 = np.arange(b // 2 + 1)
+    f_a = np.exp(-2j * np.pi * np.outer(j1, j1) / a)
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / ny)
+    f_bt = np.exp(-2j * np.pi * np.outer(k2, j2) / b)   # [k2_half, j2]
+    f32 = np.float32
+    return (f_a.real.astype(f32), f_a.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32),
+            f_bt.real.astype(f32), f_bt.imag.astype(f32))
+
+
+def _kc_kernel(ny: int, xr_ref, xi_ref,
+               far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+               or_ref, oi_ref):
+    a = 64
+    b = ny // a
+    m = xr_ref.shape[1]
+    hk2 = b // 2 + 1
+    xr = xr_ref[:].reshape(a, b * m)
+    xi = xi_ref[:].reshape(a, b * m)
+    s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
+    s1r = s1r.reshape(a, b, m)
+    s1i = s1i.reshape(a, b, m)
+    twr = twr_ref[:][:, :, None]
+    twi = twi_ref[:][:, :, None]
+    hr = s1r * twr - s1i * twi
+    hi = s1r * twi + s1i * twr
+
+    def dot2(f, g):
+        return jax.lax.dot_general(
+            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION)
+    rr = dot2(fbr_ref[:], hr)                   # [k2_half, k1, m]
+    ri = dot2(fbr_ref[:], hi)
+    ir = dot2(fbi_ref[:], hr)
+    ii = dot2(fbi_ref[:], hi)
+    yr = (rr - ii).reshape(hk2 * a, m)          # rows k = k1 + a*k2
+    yi = (ri + ir).reshape(hk2 * a, m)
+    # keep rows [0, ny/2]: the (b/2+1) k2-blocks cover k up to
+    # a*(b/2+1)-1 = ny/2 + 63; the write below slices the first hny rows
+    or_ref[:] = yr[0:ny // 2 + 1, :].T
+    oi_ref[:] = yi[0:ny // 2 + 1, :].T
+
+
+def _kc_call(xt, ny: int):
+    xr, xi = xt
+    nrows, nx = xr.shape
+    hny = ny // 2 + 1
+    tables = [jnp.asarray(t) for t in _kc_tables(ny)]
+    grid = (pl.cdiv(nx, BLOCK),)
+    in_spec = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    out_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kc_kernel, ny),
+        grid=grid,
+        in_specs=[in_spec, in_spec] + tab_spec,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xr, xi, *tables)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# public API (ops/fft.py conventions: forward unnormalized, inverse 1/N^2)
+# ---------------------------------------------------------------------------
+
+_INTERPRET = False
+
+
+def _interpret() -> bool:
+    """Interpret mode: explicit override, else on for non-TPU backends so
+    the same model code runs in CPU tests."""
+    if _INTERPRET:
+        return True
+    return jax.default_backend() != "tpu"
+
+
+def rfft2(x: jax.Array) -> jax.Array:
+    """Real (nx, ny) -> half-spectrum (nx, hny) complex64, unnormalized."""
+    nx, ny = x.shape
+    f1t = _ka_call(x, None, nx, forward=True, real_input=True)  # (ny, nx)
+    sr, si = _kc_call(f1t, ny)
+    return jax.lax.complex(sr, si)
+
+
+def inverse_pair(spec_a: jax.Array, spec_b: jax.Array,
+                 grid_shape) -> tuple:
+    """Two real inverse transforms, fully fused: 2x KA + 1x KB."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    scale = 1.0 / (nx * ny)
+    wat = _ka_call(jnp.real(spec_a), jnp.imag(spec_a), nx,
+                   forward=False, real_input=False)
+    wbt = _ka_call(jnp.real(spec_b), jnp.imag(spec_b), nx,
+                   forward=False, real_input=False)
+    return _kb_call(wat, wbt, ny, scale)
+
+
+def irfft2(spec: jax.Array, s: Tuple[int, int]) -> jax.Array:
+    """Single-field inverse; runs the pair kernel with a zero partner."""
+    a, _ = inverse_pair(spec, jnp.zeros_like(spec), s)
+    return a
