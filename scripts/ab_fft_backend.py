@@ -44,7 +44,19 @@ def main():
     cfg0 = ModelConfig(nx=args.nx, ny=args.nx)
     results = {}
     for name in args.backends:
-        cfg = cfg0.replace(fft_backend=name)
+        # pseudo-backends: 'pallas-high' = pallas with Precision.HIGH
+        # matmuls inside the kernels
+        build_name = name
+        if name == "pallas-high":
+            import jax as _jax
+
+            from xlab_fftbarotropic_tpu.ops import pallas_fft
+            pallas_fft.PRECISION = _jax.lax.Precision.HIGH
+            build_name = "pallas"
+        elif name.startswith("pallas"):
+            from xlab_fftbarotropic_tpu.ops import pallas_fft
+            pallas_fft.PRECISION = __import__("jax").lax.Precision.HIGHEST
+        cfg = cfg0.replace(fft_backend=build_name)
         if args.model == "sw":
             from xlab_fftbarotropic_tpu.models.shallow_water import (
                 ShallowWaterModel)

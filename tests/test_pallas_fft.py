@@ -80,3 +80,49 @@ def test_rk4_trajectory_equivalence():
     a = np.asarray(jnp.fft.irfft2(z_ref, s=cfg.grid_shape))
     b = np.asarray(jnp.fft.irfft2(z_pal, s=cfg.grid_shape))
     assert np.max(np.abs(a - b)) < 1e-6 * max(1.0, np.max(np.abs(a)))
+
+
+def test_plane_stepper_trajectory_equivalence():
+    """The EXPERIMENTAL fully fused plane-state stepper (rk4_step_planes:
+    derivative_quad + forward_tendency, off by default — see
+    models/barotropic.py:PLANE_STEPPER) must follow the jnp.fft core."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    cfg = ModelConfig(nx=128, ny=128)
+    v0 = makefields.kuo2004(cfg)
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    m_ref = bt.BarotropicModel.build(cfg)
+    z_ref = m_ref.segment(m_ref.init_state(v0), src, 20)
+    old = bt.PLANE_STEPPER
+    bt.PLANE_STEPPER = True
+    try:
+        m_pl = bt.BarotropicModel.build(cfg.replace(fft_backend="pallas"))
+        z_pl = m_pl.segment(m_pl.init_state(v0), src, 20)
+    finally:
+        bt.PLANE_STEPPER = old
+    a = np.asarray(jnp.fft.irfft2(z_ref, s=cfg.grid_shape))
+    b = np.asarray(jnp.fft.irfft2(z_pl, s=cfg.grid_shape))
+    assert np.max(np.abs(a - b)) < 1e-6 * max(1.0, np.max(np.abs(a)))
+
+
+def test_forward_tendency_matches_composition():
+    """forward_tendency == dealias(rfft2(-u*zx - v*zy + S) + nu*lap*Z)."""
+    from xlab_fftbarotropic_tpu.ops.spectral import SpectralTables
+
+    cfg = ModelConfig(nx=128, ny=128)
+    t = SpectralTables.from_config(cfg)
+    rng = np.random.default_rng(11)
+    n = cfg.nx
+    u, zx, v, zy, src = (rng.standard_normal((n, n)).astype(np.float32)
+                         for _ in range(5))
+    z = np.fft.rfft2(rng.standard_normal((n, n))).astype(np.complex64)
+    nu = 6.5
+    ref = np.asarray(t.mask) * (
+        np.fft.rfft2(-u * zx - v * zy + src)
+        + nu * np.asarray(t.lap) * z)
+    tr, ti = pf.forward_tendency(
+        jnp.asarray(u), jnp.asarray(zx), jnp.asarray(v), jnp.asarray(zy),
+        jnp.asarray(src), t.lap, t.mask,
+        jnp.asarray(z.real), jnp.asarray(z.imag), nu, cfg.grid_shape)
+    got = np.asarray(tr) + 1j * np.asarray(ti)
+    assert _rel(ref, got) < 2e-5

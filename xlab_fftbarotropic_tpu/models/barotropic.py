@@ -32,8 +32,32 @@ from ..ops import spectral as sp
 from ..ops.spectral import SpectralTables
 
 
+# EXPERIMENTAL: route the pallas backend through the fully fused
+# plane-state stepper (rk4_step_planes: derivative_quad + fused
+# forward_tendency, float32-plane scan carry). Compiles and runs
+# correctly step-by-step, but the Mosaic compile of the fused derivative
+# kernels is so expensive that a lax.scan over steps OOMs the AOT
+# compile helper (verified 2026-08-17) — OFF by default until the
+# kernel bodies are cheaper to compile; the default pallas path is the
+# per-transform fused pipeline (inverse_pair/rfft2 kernels, 1.48x XLA).
+PLANE_STEPPER = False
+
+
+def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
+    """Resolve 'auto' to a concrete backend name for this process/grid."""
+    if name != "auto":
+        return name
+    nx, ny = (grid_shape if grid_shape is not None else (0, 0))
+    pallas_ok = (nx == ny and nx >= 256 and nx & (nx - 1) == 0)
+    if pallas_ok and jax.default_backend() == "tpu":
+        return "pallas"
+    return "xla"
+
+
 def resolve_fft_backend(name: str, grid_shape=None):
-    """(forward, inverse, inverse_pair) for a ModelConfig.fft_backend name.
+    """(forward, inverse, inverse_pair, derivative_quad) for a
+    ModelConfig.fft_backend name; derivative_quad is None unless the
+    backend offers the fused (zeta_x, zeta_y, u, v) pipeline.
 
     'xla' is jnp.fft (ops/fft.py); 'mxu' is the einsum matmul four-step
     FFT (ops/mxu_fft.py); 'pallas' is the fused VMEM-resident kernel
@@ -43,24 +67,23 @@ def resolve_fft_backend(name: str, grid_shape=None):
     the FFTW normalization contract (SURVEY.md §5.2) and agree to float32
     round-off.
     """
-    if name == "auto":
-        nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-        pallas_ok = (nx == ny and nx >= 256 and nx & (nx - 1) == 0)
-        if pallas_ok and jax.default_backend() == "tpu":
-            name = "pallas"
-        else:
-            name = "xla"
+    name = resolve_fft_backend_name(name, grid_shape)
     if name == "mxu":
         from ..ops import mxu_fft
         return (mxu_fft.rfft2,
                 lambda s, g: mxu_fft.irfft2(s, s=g),
-                mxu_fft.inverse_pair)
+                mxu_fft.inverse_pair, None)
     if name == "pallas":
         from ..ops import pallas_fft
+
+        def quad(t, zeta_hat, grid_shape):
+            return pallas_fft.derivative_quad(zeta_hat, t.kx, t.ky,
+                                              t.rlap, grid_shape)
         return (pallas_fft.rfft2, pallas_fft.irfft2,
-                pallas_fft.inverse_pair)
+                pallas_fft.inverse_pair,
+                quad if PLANE_STEPPER else None)
     if name == "xla":
-        return fft.forward, fft.inverse, fft.inverse_pair
+        return fft.forward, fft.inverse, fft.inverse_pair, None
     raise ValueError(f"unknown fft_backend: {name!r}")
 
 
@@ -76,7 +99,8 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              nu: float, grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> jax.Array:
+             inv_pair: Optional[Callable] = None,
+             deriv_quad: Optional[Callable] = None) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
@@ -93,20 +117,26 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     batched FFT lowering pipelines worse than independent transforms.)
     """
     lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
-    psi_hat = sp.invert_laplacian(t, zeta_hat)       # main.cpp:179
-    if inv_pair is None and inv is fft.inverse:
-        inv_pair = fft.inverse_pair
-    if inv_pair is not None:
-        # zeta_x, zeta_y (main.cpp:151-168) | u=-psi_y, v=psi_x (:198-214)
-        dvdx, dvdy = inv_pair(sp.gradx(t, zeta_hat),
-                              sp.grady(t, zeta_hat), grid_shape)
-        u, v = inv_pair(-sp.grady(t, psi_hat),
-                        sp.gradx(t, psi_hat), grid_shape)
+    if deriv_quad is not None:
+        # fused pipeline: one read of zeta_hat, no derivative spectra in
+        # HBM (ops/pallas_fft.py:derivative_quad)
+        dvdx, dvdy, u, v = deriv_quad(t, zeta_hat, grid_shape)
     else:
-        dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
-        dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
-        u = -inv(sp.grady(t, psi_hat), grid_shape)
-        v = inv(sp.gradx(t, psi_hat), grid_shape)
+        psi_hat = sp.invert_laplacian(t, zeta_hat)   # main.cpp:179
+        if inv_pair is None and inv is fft.inverse:
+            inv_pair = fft.inverse_pair
+        if inv_pair is not None:
+            # zeta_x, zeta_y (main.cpp:151-168) | u=-psi_y, v=psi_x
+            # (:198-214)
+            dvdx, dvdy = inv_pair(sp.gradx(t, zeta_hat),
+                                  sp.grady(t, zeta_hat), grid_shape)
+            u, v = inv_pair(-sp.grady(t, psi_hat),
+                            sp.gradx(t, psi_hat), grid_shape)
+        else:
+            dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
+            dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
+            u = -inv(sp.grady(t, psi_hat), grid_shape)
+            v = inv(sp.gradx(t, psi_hat), grid_shape)
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
     dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
     return dvortdt_hat + lvort_hat * nu              # main.cpp:240-243
@@ -116,7 +146,8 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              dt: float, nu: float, grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> jax.Array:
+             inv_pair: Optional[Callable] = None,
+             deriv_quad: Optional[Callable] = None) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
@@ -124,12 +155,43 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     step by the caller (main-shallow-water.cpp:304).
     """
     d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
-                          fwd=fwd, inv=inv, inv_pair=inv_pair)
+                          fwd=fwd, inv=inv, inv_pair=inv_pair,
+                          deriv_quad=deriv_quad)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
     rk4 = sp.dealias(t, d(zeta_hat + rk3 * dt))
     return zeta_hat + (rk1 + 2.0 * rk2 + 2.0 * rk3 + rk4) * (dt / 6.0)
+
+
+def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
+                    src: jax.Array, dt: float, nu: float,
+                    grid_shape: Tuple[int, int]):
+    """RK4 on the spectral state as (re, im) float32 PLANES — the fully
+    fused Pallas path: derivative_quad_planes + forward_tendency per
+    stage, RK combines as plain plane arithmetic. No complex64 array and
+    no real/imag extraction exists anywhere inside the scan; the
+    conversion happens once per segment at the jit boundary.
+
+    Same math as rk4_step (main.cpp:286-317): each stage tendency is
+    viscous + dealiased inside forward_tendency's epilogue.
+    """
+    from ..ops import pallas_fft as pf
+
+    def d(sr, si):
+        dvdx, dvdy, u, v = pf.derivative_quad_planes(
+            sr, si, t.kx, t.ky, t.rlap, grid_shape)
+        return pf.forward_tendency(u, dvdx, v, dvdy, src, t.lap, t.mask,
+                                   sr, si, nu, grid_shape)
+
+    h = dt * 0.5
+    r1r, r1i = d(zr, zi)
+    r2r, r2i = d(zr + r1r * h, zi + r1i * h)
+    r3r, r3i = d(zr + r2r * h, zi + r2i * h)
+    r4r, r4i = d(zr + r3r * dt, zi + r3i * dt)
+    c = dt / 6.0
+    return (zr + (r1r + 2.0 * r2r + 2.0 * r3r + r4r) * c,
+            zi + (r1i + 2.0 * r2i + 2.0 * r3i + r4i) * c)
 
 
 def diag_fields(t: SpectralTables, zeta_hat: jax.Array,
@@ -195,25 +257,48 @@ class BarotropicModel:
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
-        fwd, inv, inv_pair = resolve_fft_backend(cfg.fft_backend, g)
+        resolved = resolve_fft_backend_name(cfg.fft_backend, g)
+        fwd, inv, inv_pair, deriv_quad = resolve_fft_backend(resolved, g)
 
         # The coefficient tables are passed as jit ARGUMENTS (bound via
         # partial), not closed over: closure arrays get embedded as MLIR
         # constants, which forces a device->host fetch at lowering time —
         # slow, bloats the executable, and unsupported over remote-device
         # tunnels for large buffers.
-        @jax.jit
-        def step_(t, zeta_hat, src):
-            return rk4_step(t, zeta_hat, src, dt, nu, g,
-                            fwd=fwd, inv=inv, inv_pair=inv_pair)
+        if resolved == "pallas" and PLANE_STEPPER:
+            # plane-state stepper: complex <-> (re, im) conversion only
+            # at the segment boundary (see rk4_step_planes)
+            @jax.jit
+            def step_(t, zeta_hat, src):
+                zr, zi = rk4_step_planes(t, jnp.real(zeta_hat),
+                                         jnp.imag(zeta_hat), src,
+                                         dt, nu, g)
+                return jax.lax.complex(zr, zi)
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment_(t, zeta_hat, src, n_steps: int):
-            def body(z, _):
-                return rk4_step(t, z, src, dt, nu, g,
-                                fwd=fwd, inv=inv, inv_pair=inv_pair), None
-            z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
-            return z
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t, zeta_hat, src, n_steps: int):
+                def body(zc, _):
+                    return rk4_step_planes(t, zc[0], zc[1], src,
+                                           dt, nu, g), None
+                zc, _ = jax.lax.scan(
+                    body, (jnp.real(zeta_hat), jnp.imag(zeta_hat)),
+                    None, length=n_steps)
+                return jax.lax.complex(*zc)
+        else:
+            @jax.jit
+            def step_(t, zeta_hat, src):
+                return rk4_step(t, zeta_hat, src, dt, nu, g,
+                                fwd=fwd, inv=inv, inv_pair=inv_pair,
+                                deriv_quad=deriv_quad)
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t, zeta_hat, src, n_steps: int):
+                def body(z, _):
+                    return rk4_step(t, z, src, dt, nu, g,
+                                    fwd=fwd, inv=inv, inv_pair=inv_pair,
+                                    deriv_quad=deriv_quad), None
+                z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
+                return z
 
         @jax.jit
         def diags_(t, zeta_hat):

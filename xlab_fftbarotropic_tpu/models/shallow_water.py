@@ -189,7 +189,9 @@ class ShallowWaterModel:
         H = float(cfg.mean_depth)
 
         from .barotropic import resolve_fft_backend
-        fwd, inv, inv_pair = resolve_fft_backend(cfg.fft_backend, g_shape)
+        fwd, inv, inv_pair, _quad = resolve_fft_backend(
+            cfg.fft_backend, g_shape)   # SW has its own transform mix;
+        #                                 the barotropic quad is unused
 
         # Tables are jit ARGUMENTS bound via partial, not closure constants
         # (see models/barotropic.py note: avoids lowering-time device

@@ -134,6 +134,36 @@ def _ka_tables(n: int, forward: bool, scale: float = 1.0):
             f_bt.real.astype(f32), f_bt.imag.astype(f32))
 
 
+def _dot2(f, g):
+    """Stage-2 contraction with the pre-transposed [k2, j2] matrix;
+    dot_general emits (k2, k1, m) — already digit-swap order k = k1+a*k2."""
+    return jax.lax.dot_general(
+        f, g, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PRECISION)
+
+
+def _four_step(xr, xi, n, m, far, fai, twr, twi, fbr, fbi):
+    """In-VMEM four-step DFT along axis 0 of (n, m) planes. xi=None for a
+    real input. Returns (yr, yi) of shape (n, m)."""
+    a, b = _split(n)
+    if xi is None:
+        s1r, s1i = _rmatmul_left(far, fai, xr.reshape(a, b * m))
+    else:
+        s1r, s1i = _cmatmul_left(far, fai, xr.reshape(a, b * m),
+                                 xi.reshape(a, b * m))
+    s1r = s1r.reshape(a, b, m)
+    s1i = s1i.reshape(a, b, m)
+    twr3 = twr[:, :, None]
+    twi3 = twi[:, :, None]
+    hr = s1r * twr3 - s1i * twi3
+    hi = s1r * twi3 + s1i * twr3
+    rr = _dot2(fbr, hr)
+    ri = _dot2(fbr, hi)
+    ir = _dot2(fbi, hr)
+    ii = _dot2(fbi, hi)
+    return (rr - ii).reshape(n, m), (ri + ir).reshape(n, m)
+
+
 def _ka_kernel(real_input: bool, n: int, *refs):
     if real_input:
         (xr_ref, far_ref, fai_ref, twr_ref, twi_ref,
@@ -141,35 +171,10 @@ def _ka_kernel(real_input: bool, n: int, *refs):
     else:
         (xr_ref, xi_ref, far_ref, fai_ref, twr_ref, twi_ref,
          fbr_ref, fbi_ref, or_ref, oi_ref) = refs
-    a, b = _split(n)
     m = xr_ref.shape[1]
-    # stage 1: contract j1 on the (a, b*m) view of the rows
-    if real_input:
-        x = xr_ref[:].reshape(a, b * m)
-        s1r, s1i = _rmatmul_left(far_ref[:], fai_ref[:], x)
-    else:
-        xr = xr_ref[:].reshape(a, b * m)
-        xi = xi_ref[:].reshape(a, b * m)
-        s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
-    # twiddle [k1, j2] on the (a, b, m) view
-    s1r = s1r.reshape(a, b, m)
-    s1i = s1i.reshape(a, b, m)
-    twr = twr_ref[:][:, :, None]
-    twi = twi_ref[:][:, :, None]
-    hr = s1r * twr - s1i * twi
-    hi = s1r * twi + s1i * twr
-    # stage 2: contract j2 with the pre-transposed [k2, j2] matrix;
-    # dot_general emits (k2, k1, m) — already digit-swap order k = k1+a*k2
-    def dot2(f, g):
-        return jax.lax.dot_general(
-            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=PRECISION)
-    rr = dot2(fbr_ref[:], hr)
-    ri = dot2(fbr_ref[:], hi)
-    ir = dot2(fbi_ref[:], hr)
-    ii = dot2(fbi_ref[:], hi)
-    yr = (rr - ii).reshape(n, m)
-    yi = (ri + ir).reshape(n, m)
+    yr, yi = _four_step(xr_ref[:], None if real_input else xi_ref[:],
+                        n, m, far_ref[:], fai_ref[:], twr_ref[:],
+                        twi_ref[:], fbr_ref[:], fbi_ref[:])
     # transposed write: out block is (m, n)
     or_ref[:] = yr.T
     oi_ref[:] = yi.T
@@ -201,6 +206,135 @@ def _ka_call(xr, xi, n_rows, forward, real_input, scale=1.0):
         compiler_params=_compiler_params(),
     )(*data, *tables)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# KA4: the fused derivative x-stage. Reads zeta_hat ONCE per block and
+# emits the x-stage of all four derivative spectra of the barotropic RHS
+# (main.cpp:146-244) without materializing any of them in HBM:
+#   dvdx = i kx * Z          dvdy = i ky * Z
+#   psi  = Z * rlap   (rlap = 1/inv_lap, multiply-form inversion)
+#   u    = -i ky * psi       v    = i kx * psi
+# The diagonals are elementwise in VMEM (kx varies along the contraction
+# rows, ky along the lanes); the four inverse transforms then run
+# sequentially on the same resident block and write transposed.
+# ---------------------------------------------------------------------------
+
+def _ka4_kernel(n: int, zr_ref, zi_ref, rlap_ref, kx_ref, ky_ref,
+                far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                *o_refs):
+    m = zr_ref.shape[1]
+    zr, zi = zr_ref[:], zi_ref[:]
+    kx = kx_ref[:]                       # (n, 1)
+    ky = ky_ref[:]                       # (1, m)
+    rlap = rlap_ref[:]
+    pr = zr * rlap
+    pi = zi * rlap
+    fields = (
+        (-kx * zi, kx * zr),             # i kx Z
+        (-ky * zi, ky * zr),             # i ky Z
+        (ky * pi, -ky * pr),             # -i ky psi
+        (-kx * pi, kx * pr),             # i kx psi
+    )
+    tabs = (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:],
+            fbr_ref[:], fbi_ref[:])
+    for idx, (xr, xi) in enumerate(fields):
+        yr, yi = _four_step(xr, xi, n, m, *tabs)
+        o_refs[2 * idx][:] = yr.T
+        o_refs[2 * idx + 1][:] = yi.T
+
+
+def _ka2_kernel(which: str, n: int, zr_ref, zi_ref, rlap_ref, kx_ref,
+                ky_ref, far_ref, fai_ref, twr_ref, twi_ref, fbr_ref,
+                fbi_ref, *o_refs):
+    """Two-transform variant of KA4 ('zderiv': i kx Z, i ky Z;
+    'pderiv': -i ky psi, i kx psi) — half the kernel body, for when the
+    4-transform kernel overwhelms the Mosaic compiler."""
+    m = zr_ref.shape[1]
+    zr, zi = zr_ref[:], zi_ref[:]
+    kx = kx_ref[:]
+    ky = ky_ref[:]
+    if which == "zderiv":
+        fields = ((-kx * zi, kx * zr), (-ky * zi, ky * zr))
+    else:
+        rlap = rlap_ref[:]
+        pr = zr * rlap
+        pi = zi * rlap
+        fields = ((ky * pi, -ky * pr), (-kx * pi, kx * pr))
+    tabs = (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:],
+            fbr_ref[:], fbi_ref[:])
+    for idx, (xr, xi) in enumerate(fields):
+        yr, yi = _four_step(xr, xi, n, m, *tabs)
+        o_refs[2 * idx][:] = yr.T
+        o_refs[2 * idx + 1][:] = yi.T
+
+
+# 'quad' = one 4-transform KA4 call; 'split' = two 2-transform KA2 calls
+QUAD_MODE = "split"
+
+
+def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
+                           ky: jax.Array, rlap: jax.Array,
+                           grid_shape) -> tuple:
+    """(zeta_x, zeta_y, u, v) physical fields from the spectral state
+    PLANES in one fused pipeline: KA4 (one read of the state) + 2x KB
+    pair y-stages.
+
+    kx: (nx,) signed wavenumbers; ky: (hny,) half-axis wavenumbers;
+    rlap: (nx, hny) reciprocal inverse-Laplacian table (SpectralTables).
+    """
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    scale = 1.0 / (nx * ny)
+    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
+    grid = (pl.cdiv(hny, BLOCK),)
+    spec_in = pl.BlockSpec((nx, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    kx_spec = pl.BlockSpec((nx, 1), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    ky_spec = pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    out_spec = pl.BlockSpec((BLOCK, nx), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    args = (zr, zi, rlap, kx.reshape(nx, 1), ky.reshape(1, hny), *tables)
+    in_specs = [spec_in] * 3 + [kx_spec, ky_spec] + tab_spec
+    if QUAD_MODE == "quad":
+        w = pl.pallas_call(
+            functools.partial(_ka4_kernel, nx),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec,) * 8,
+            out_shape=tuple(jax.ShapeDtypeStruct((hny, nx), jnp.float32)
+                            for _ in range(8)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(*args)
+    else:
+        w = ()
+        for which in ("zderiv", "pderiv"):
+            w = w + pl.pallas_call(
+                functools.partial(_ka2_kernel, which, nx),
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=(out_spec,) * 4,
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((hny, nx), jnp.float32)
+                    for _ in range(4)),
+                interpret=_interpret(),
+                compiler_params=_compiler_params(),
+            )(*args)
+    dvdx, dvdy = _kb_call((w[0], w[1]), (w[2], w[3]), ny, scale)
+    u, v = _kb_call((w[4], w[5]), (w[6], w[7]), ny, scale)
+    return dvdx, dvdy, u, v
+
+
+def derivative_quad(zeta_hat: jax.Array, kx: jax.Array, ky: jax.Array,
+                    rlap: jax.Array, grid_shape) -> tuple:
+    """Complex-state wrapper around derivative_quad_planes."""
+    return derivative_quad_planes(jnp.real(zeta_hat), jnp.imag(zeta_hat),
+                                  kx, ky, rlap, grid_shape)
 
 
 # ---------------------------------------------------------------------------
@@ -437,6 +571,107 @@ def _kc_call(xt, ny: int):
         compiler_params=_compiler_params(),
     )(xr, xi, *tables)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# KA_adv: fused advection product + forward x-stage. Reads the four
+# derivative fields and the forcing, forms the RHS product
+# -u*zeta_x - v*zeta_y + S (main.cpp:225-227) in VMEM, and immediately
+# runs the real-input forward x-stage with a transposed write — the
+# physical-space tendency never lands in HBM.
+# ---------------------------------------------------------------------------
+
+def _ka_adv_kernel(n: int, u_ref, zx_ref, v_ref, zy_ref, src_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   or_ref, oi_ref):
+    m = u_ref.shape[1]
+    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy_ref[:] + src_ref[:]
+    yr, yi = _four_step(adv, None, n, m, far_ref[:], fai_ref[:],
+                        twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+# ---------------------------------------------------------------------------
+# KC_visc: forward partial y-stage + spectral epilogue. On top of KC's
+# half-spectrum output it adds the spectral viscosity of the CURRENT
+# stage state (nu * lap * Z, main.cpp:240-243) and applies the dealias
+# mask (main.cpp:296-306) — the un-dealiased tendency spectrum never
+# lands in HBM. Emits (re, im) planes.
+# ---------------------------------------------------------------------------
+
+def _kc_visc_kernel(ny: int, nu: float, xr_ref, xi_ref,
+                    lap_ref, mask_ref, zr_ref, zi_ref,
+                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                    or_ref, oi_ref):
+    a = 64
+    b = ny // a
+    m = xr_ref.shape[1]
+    hk2 = b // 2 + 1
+    xr = xr_ref[:].reshape(a, b * m)
+    xi = xi_ref[:].reshape(a, b * m)
+    s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
+    s1r = s1r.reshape(a, b, m)
+    s1i = s1i.reshape(a, b, m)
+    twr = twr_ref[:][:, :, None]
+    twi = twi_ref[:][:, :, None]
+    hr = s1r * twr - s1i * twi
+    hi = s1r * twi + s1i * twr
+    rr = _dot2(fbr_ref[:], hr)
+    ri = _dot2(fbr_ref[:], hi)
+    ir = _dot2(fbi_ref[:], hr)
+    ii = _dot2(fbi_ref[:], hi)
+    yr = (rr - ii).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
+    yi = (ri + ir).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
+    nulap = nu * lap_ref[:]
+    mask = mask_ref[:]
+    or_ref[:] = mask * (yr + nulap * zr_ref[:])
+    oi_ref[:] = mask * (yi + nulap * zi_ref[:])
+
+
+def forward_tendency(u, zx, v, zy, src, lap, mask, zr, zi, nu: float,
+                     grid_shape) -> tuple:
+    """Dealiased spectral tendency planes of the barotropic RHS, fully
+    fused: KA_adv (product + forward x-stage) + KC_visc (forward y-stage
+    + viscosity + dealias). Matches
+    dealias(rfft2(-u*zx - v*zy + src) + nu*lap*Z) to round-off."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    ka_tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
+    in_spec = pl.BlockSpec((nx, BLOCK), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tab_spec_a = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM) for t in ka_tables]
+    out_spec_a = pl.BlockSpec((BLOCK, nx), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    f1t = pl.pallas_call(
+        functools.partial(_ka_adv_kernel, nx),
+        grid=(pl.cdiv(ny, BLOCK),),
+        in_specs=[in_spec] * 5 + tab_spec_a,
+        out_specs=(out_spec_a, out_spec_a),
+        out_shape=(jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((ny, nx), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(u, zx, v, zy, src, *ka_tables)
+
+    kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
+    in_spec_c = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec_c = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM) for t in kc_tables]
+    return pl.pallas_call(
+        functools.partial(_kc_visc_kernel, ny, float(nu)),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[in_spec_c, in_spec_c] + [row_spec] * 4 + tab_spec_c,
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(f1t[0], f1t[1], lap, mask, zr, zi, *kc_tables)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,8 @@ class SpectralTables:
     lap: jax.Array         # (nx, hny) -(kx^2+ky^2)
     inv_lap: jax.Array     # (nx, hny) same but (0,0) entry = 1.0
     mask: jax.Array        # (nx, hny) dealias mask
+    rlap: jax.Array        # (nx, hny) 1/inv_lap — multiply-form Laplacian
+    #                        inversion for fused kernels (pallas_fft)
 
     @classmethod
     def build(cls, nx: int, ny: int, lx: float, ly: float,
@@ -103,12 +105,16 @@ class SpectralTables:
         lap = lap.astype(np.float32)
         inv = lap.copy()
         inv[0, 0] = 1.0
+        # float32 reciprocal of the float32 divisor: x * rlap matches
+        # x / inv_lap to <= 1 ulp of the quotient at these magnitudes
+        rlap = (1.0 / inv).astype(np.float32)
         return cls(
             kx=jnp.asarray(kx),
             ky=jnp.asarray(ky),
             lap=jnp.asarray(lap),
             inv_lap=jnp.asarray(inv),
             mask=jnp.asarray(dealias_mask(nx, ny, rule)),
+            rlap=jnp.asarray(rlap),
         )
 
     @classmethod

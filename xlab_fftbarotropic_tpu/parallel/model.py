@@ -78,7 +78,7 @@ def table_specs(axis=AXIS) -> SpectralTables:
     mesh axis names (multi-host flattened sharding)."""
     return SpectralTables(kx=P(axis), ky=P(),
                           lap=P(axis, None), inv_lap=P(axis, None),
-                          mask=P(axis, None))
+                          mask=P(axis, None), rlap=P(axis, None))
 
 
 @dataclasses.dataclass(frozen=True)
