@@ -44,18 +44,23 @@ def main():
     cfg0 = ModelConfig(nx=args.nx, ny=args.nx)
     results = {}
     for name in args.backends:
-        # pseudo-backends: 'pallas-high' = pallas with Precision.HIGH
-        # matmuls inside the kernels
+        # pseudo-backends: 'pallas-high' = Precision.HIGH matmuls,
+        # 'pallas-b256' = 256-lane blocks, 'pallas-planes' = the fused
+        # plane-state stepper (barotropic.PLANE_STEPPER)
         build_name = name
-        if name == "pallas-high":
+        planes = False
+        if name.startswith("pallas"):
             import jax as _jax
 
             from xlab_fftbarotropic_tpu.ops import pallas_fft
-            pallas_fft.PRECISION = _jax.lax.Precision.HIGH
+            pallas_fft.PRECISION = (_jax.lax.Precision.HIGH
+                                    if name == "pallas-high"
+                                    else _jax.lax.Precision.HIGHEST)
+            pallas_fft.BLOCK = 256 if name == "pallas-b256" else 128
+            planes = name == "pallas-planes"
             build_name = "pallas"
-        elif name.startswith("pallas"):
-            from xlab_fftbarotropic_tpu.ops import pallas_fft
-            pallas_fft.PRECISION = __import__("jax").lax.Precision.HIGHEST
+        from xlab_fftbarotropic_tpu.models import barotropic as _bt
+        _bt.PLANE_STEPPER = planes
         cfg = cfg0.replace(fft_backend=build_name)
         if args.model == "sw":
             from xlab_fftbarotropic_tpu.models.shallow_water import (

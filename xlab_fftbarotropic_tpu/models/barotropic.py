@@ -44,11 +44,17 @@ PLANE_STEPPER = False
 
 
 def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
-    """Resolve 'auto' to a concrete backend name for this process/grid."""
+    """Resolve 'auto' to a concrete backend name for this process/grid.
+
+    Measured crossover (BASELINE.md): the fused Pallas pipeline wins
+    decisively at 4096^2 (1.48x) but loses to XLA's FFT at 2048^2
+    (0.80x — XLA peaks at 442 M gp/s there), so 'auto' switches on
+    pallas only from 4096 up.
+    """
     if name != "auto":
         return name
     nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-    pallas_ok = (nx == ny and nx >= 256 and nx & (nx - 1) == 0)
+    pallas_ok = (nx == ny and nx >= 4096 and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
         return "pallas"
     return "xla"

@@ -269,8 +269,14 @@ class ShallowWaterModel:
         cfg = self.cfg
         zeta_hat = fft.forward(jnp.asarray(vort0, jnp.float32))
         psi_hat = sp.invert_laplacian(self.tables, zeta_hat)
+        # zero the mean mode by multiply, not .at[].set — an eager scatter
+        # into a large complex device array is Unimplemented on the
+        # remote-TPU backend (same gap family as reverse/roll; CLAUDE.md)
+        import numpy as np
+        mean_mask = np.ones(cfg.spectral_shape, np.float32)
+        mean_mask[0, 0] = 0.0
         eta_hat = ((float(cfg.f) / float(cfg.gravity)) * psi_hat
-                   ).at[0, 0].set(0.0)
+                   * jnp.asarray(mean_mask))
         return SWState(zeta_hat=zeta_hat,
                        div_hat=jnp.zeros_like(zeta_hat),
                        eta_hat=eta_hat)

@@ -63,9 +63,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 # lane width of one kernel invocation's column block (Mosaic requires a
-# multiple of 128 for blocked lane dims)
-BLOCK = 128
+# multiple of 128 for blocked lane dims); overridable for benchmarking
+# via XFB_PALLAS_BLOCK (per-process — rebuilding pallas_calls with
+# changed globals in one process trips a JAX lowering-cache bug)
+BLOCK = int(_os.environ.get("XFB_PALLAS_BLOCK", "128"))
 
 # raise the scoped-VMEM budget above the 16 MB flag default: the fused
 # KA pipeline's live set (in + out + matmul temps) peaks at ~16.04 MB at
@@ -80,8 +84,11 @@ def _compiler_params():
             vmem_limit_bytes=100 * 1024 * 1024)
     return _COMPILER_PARAMS
 
-# matmul precision inside kernels; HIGHEST = float32-accurate
-PRECISION = jax.lax.Precision.HIGHEST
+# matmul precision inside kernels; HIGHEST = float32-accurate;
+# XFB_PALLAS_PRECISION=high selects bf16x3 for benchmarking
+PRECISION = (jax.lax.Precision.HIGH
+             if _os.environ.get("XFB_PALLAS_PRECISION", "") == "high"
+             else jax.lax.Precision.HIGHEST)
 
 
 def _split(n: int) -> Tuple[int, int]:
@@ -269,8 +276,55 @@ def _ka2_kernel(which: str, n: int, zr_ref, zi_ref, rlap_ref, kx_ref,
         o_refs[2 * idx + 1][:] = yi.T
 
 
-# 'quad' = one 4-transform KA4 call; 'split' = two 2-transform KA2 calls
-QUAD_MODE = "split"
+# 'grid' = one KA call with a 4-long grid dimension over fields (one
+#          four-step body; the per-field diagonal is DATA — stacked
+#          separable row/column factors — so there is no control flow
+#          and the Mosaic compile cost matches the plain KA kernel);
+# 'quad' = one 4-transform KA4 call (9-minute Mosaic compile, kept for
+#          reference); 'split' = two 2-transform KA2 calls.
+QUAD_MODE = "grid"
+
+
+def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
+                    ar_ref, ai_ref, br_ref, bi_ref, e_ref,
+                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                    owr_ref, owi_ref):
+    """One four-step inverse transform of D * Z where the diagonal
+    D = (ar + i ai)[rows] * (br + i bi)[cols] * rlap^e is selected by the
+    field-index grid dimension through the stacked factor inputs."""
+    m = zr_ref.shape[1]
+    zr, zi = zr_ref[:], zi_ref[:]
+    ar = ar_ref[0]                        # (n, 1)
+    ai = ai_ref[0]
+    br = br_ref[0]                        # (1, m)
+    bi = bi_ref[0]
+    rl = 1.0 + e_ref[0] * (rlap_ref[:] - 1.0)   # rlap^e, e in {0, 1}
+    t1r = zr * ar - zi * ai
+    t1i = zr * ai + zi * ar
+    xr = (t1r * br - t1i * bi) * rl
+    xi = (t1r * bi + t1i * br) * rl
+    yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
+                        twi_ref[:], fbr_ref[:], fbi_ref[:])
+    owr_ref[0] = yr.T
+    owi_ref[0] = yi.T
+
+
+def _stack_factors(kx, ky, nx, hny):
+    """(Ar, Ai) (4, nx, 1), (Br, Bi) (4, 1, hny), e (4, 1, 1) float32."""
+    one_r = jnp.ones((nx, 1), jnp.float32)
+    zero_r = jnp.zeros((nx, 1), jnp.float32)
+    one_c = jnp.ones((1, hny), jnp.float32)
+    zero_c = jnp.zeros((1, hny), jnp.float32)
+    kxc = kx.reshape(nx, 1)
+    kyc = ky.reshape(1, hny)
+    # fields: i kx Z | i ky Z | -i ky psi | i kx psi
+    ar = jnp.stack([zero_r, one_r, one_r, zero_r])
+    ai = jnp.stack([kxc, zero_r, zero_r, kxc])
+    br = jnp.stack([one_c, zero_c, zero_c, one_c])
+    bi = jnp.stack([zero_c, kyc, -kyc, zero_c])
+    e = jnp.asarray([0.0, 0.0, 1.0, 1.0],
+                    jnp.float32).reshape(4, 1, 1)
+    return ar, ai, br, bi, e
 
 
 def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
@@ -300,6 +354,35 @@ def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
                             memory_space=pltpu.VMEM)
     args = (zr, zi, rlap, kx.reshape(nx, 1), ky.reshape(1, hny), *tables)
     in_specs = [spec_in] * 3 + [kx_spec, ky_spec] + tab_spec
+    if QUAD_MODE == "grid":
+        ar, ai, br, bi, e = _stack_factors(kx, ky, nx, hny)
+        rvec_spec = pl.BlockSpec((1, nx, 1), lambda f, i: (f, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        cvec_spec = pl.BlockSpec((1, 1, BLOCK), lambda f, i: (f, 0, i),
+                                 memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((1, 1, 1), lambda f, i: (f, 0, 0),
+                              memory_space=pltpu.VMEM)
+        g2 = (4, pl.cdiv(hny, BLOCK))
+        sp2 = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+                           memory_space=pltpu.VMEM)
+        t2 = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+                           memory_space=pltpu.VMEM) for t in tables]
+        ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
+                               memory_space=pltpu.VMEM)
+        wr, wi = pl.pallas_call(
+            functools.partial(_ka_diag_kernel, nx),
+            grid=g2,
+            in_specs=[sp2, sp2, sp2, rvec_spec, rvec_spec, cvec_spec,
+                      cvec_spec, e_spec] + t2,
+            out_specs=(ow_spec, ow_spec),
+            out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
+                       jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(zr, zi, rlap, ar, ai, br, bi, e, *tables)
+        dvdx, dvdy = _kb_call_stacked(wr, wi, 0, 1, ny, scale)
+        u, v = _kb_call_stacked(wr, wi, 2, 3, ny, scale)
+        return dvdx, dvdy, u, v
     if QUAD_MODE == "quad":
         w = pl.pallas_call(
             functools.partial(_ka4_kernel, nx),
@@ -397,18 +480,18 @@ def _kb_tables(ny: int, scale: float):
     return tabs
 
 
-def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref,
-               e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
-               e1qr_ref, e1qi_ref, twqr_ref, twqi_ref,
-               e2r_ref, e2i_ref, alt_ref,
-               oa_ref, ob_ref):
+def _kb_body(ny: int, war, wai, wbr, wbi,
+             e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
+             e1qr_ref, e1qi_ref, twqr_ref, twqi_ref,
+             e2r_ref, e2i_ref, alt_ref,
+             oa_ref, ob_ref):
+    """Shared KB body; inputs are the (ny/2+1, m) mixed-domain plane
+    ARRAYS (already loaded/sliced by the wrapping kernel)."""
     a, _m_dig, b2 = _kb_split(ny)
-    m = war_ref.shape[1]
+    m = war.shape[1]
     half = ny // 2
 
-    # load, project self-conjugate rows to their real part (leak guard)
-    war, wai = war_ref[0:half + 1, :], wai_ref[0:half + 1, :]
-    wbr, wbi = wbr_ref[0:half + 1, :], wbi_ref[0:half + 1, :]
+    # project self-conjugate rows to their real part (leak guard)
     zero_rows = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0)
     selfconj = (zero_rows == 0) | (zero_rows == half)
     wai = jnp.where(selfconj, 0.0, wai)
@@ -463,6 +546,22 @@ def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref,
     ob_ref[:] = outi.reshape(ny, m).T
 
 
+def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref, *rest):
+    half = ny // 2
+    _kb_body(ny, war_ref[0:half + 1, :], wai_ref[0:half + 1, :],
+             wbr_ref[0:half + 1, :], wbi_ref[0:half + 1, :], *rest)
+
+
+def _kb_kernel_stacked(ny: int, wr_a_ref, wi_a_ref, wr_b_ref, wi_b_ref,
+                       *rest):
+    """KB over two fields of the STACKED (4, hny, nx) quad output; the
+    leading field index is pinned by the BlockSpec index_map."""
+    half = ny // 2
+    _kb_body(ny, wr_a_ref[0, 0:half + 1, :], wi_a_ref[0, 0:half + 1, :],
+             wr_b_ref[0, 0:half + 1, :], wi_b_ref[0, 0:half + 1, :],
+             *rest)
+
+
 def _kb_call(wat, wbt, ny: int, scale: float):
     """wat/wbt: ((hny, nx) re, im) plane pairs. Returns a, b (nx, ny)."""
     war, wai = wat
@@ -487,6 +586,33 @@ def _kb_call(wat, wbt, ny: int, scale: float):
         compiler_params=_compiler_params(),
     )(war, wai, wbr, wbi, *tables)
     return outs
+
+
+def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float):
+    """KB reading fields fa, fb directly out of the stacked (4, hny, nx)
+    quad output — no slicing copy; the field index is pinned in the
+    BlockSpec index_map. Returns a, b (nx, ny)."""
+    _, hny, nx = wr.shape
+    tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
+    grid = (pl.cdiv(nx, BLOCK),)
+
+    def fspec(f):
+        return pl.BlockSpec((1, hny, BLOCK), lambda i, f=f: (f, 0, i),
+                            memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    out_spec = pl.BlockSpec((BLOCK, ny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kb_kernel_stacked, ny),
+        grid=grid,
+        in_specs=[fspec(fa), fspec(fa), fspec(fb), fspec(fb)] + tab_spec,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, ny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(wr, wi, wr, wi, *tables)
 
 
 # ---------------------------------------------------------------------------
