@@ -32,15 +32,16 @@ from ..ops import spectral as sp
 from ..ops.spectral import SpectralTables
 
 
-# EXPERIMENTAL: route the pallas backend through the fully fused
-# plane-state stepper (rk4_step_planes: derivative_quad + fused
-# forward_tendency, float32-plane scan carry). Compiles and runs
-# correctly step-by-step, but the Mosaic compile of the fused derivative
-# kernels is so expensive that a lax.scan over steps OOMs the AOT
-# compile helper (verified 2026-08-17) — OFF by default until the
-# kernel bodies are cheaper to compile; the default pallas path is the
-# per-transform fused pipeline (inverse_pair/rfft2 kernels, 1.48x XLA).
-PLANE_STEPPER = False
+# Route the pallas backend through the fully fused plane-state stepper
+# (rk4_step_planes: derivative_quad + fused forward_tendency, float32-
+# plane scan carry). With the grid-over-fields KA restructure
+# (ops/pallas_fft.py:QUAD_MODE='grid') the Mosaic compile cost is normal
+# (~80 s for the whole 4096^2 scan segment vs the 9-minute pathology of
+# the unrolled 4-transform body) and the measured step is 44.0 ms at
+# 4096^2 — 381 M gp/s/chip, 1.16x the per-transform fused pipeline,
+# 1.73x the XLA-FFT core, with a bit-identical 30-step checksum
+# (BASELINE.md ledger, 2026-08-17). ON by default.
+PLANE_STEPPER = True
 
 
 def resolve_fft_backend_name(name: str, grid_shape=None) -> str:

@@ -72,6 +72,29 @@ def axis_size(mesh: Mesh, axis) -> int:
     return mesh.shape[axis]
 
 
+def _fft_pair(fft_impl: str, axis, n: int):
+    """Distributed FFT pair for a named implementation:
+    'xla'     — all_to_all transposes scheduled by XLA (dfft.py, default)
+    'pallas'  — explicit DMA all-to-all transposes (pallas_transpose.py)
+    'overlap' — ONE fused kernel per transform direction: both transposes
+                chunk-pipelined with the x-stage DFT (pallas_overlap.py)
+    The Pallas implementations run in interpret mode automatically off-TPU
+    (virtual CPU meshes)."""
+    interpret = jax.default_backend() != "tpu"
+    if fft_impl == "xla":
+        return dfft.make_fft_pair(axis, n)
+    if fft_impl == "pallas":
+        return dfft.make_fft_pair(axis, n, use_pallas=True,
+                                  interpret=interpret)
+    if fft_impl == "overlap":
+        if isinstance(axis, (tuple, list)):
+            raise ValueError("fft_impl='overlap' needs a single mesh axis "
+                             "(flatten the mesh for the transpose axis)")
+        from . import pallas_overlap
+        return pallas_overlap.make_fft_pair(axis, n, interpret=interpret)
+    raise ValueError(f"unknown fft_impl: {fft_impl!r}")
+
+
 def table_specs(axis=AXIS) -> SpectralTables:
     """PartitionSpec pytree for SpectralTables: row-sharded 2-D tables,
     row-sharded kx, replicated (half-axis) ky. `axis` may be a tuple of
@@ -101,7 +124,8 @@ class ShardedBarotropicModel:
 
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
-              axis: str = AXIS) -> "ShardedBarotropicModel":
+              axis: str = AXIS,
+              fft_impl: str = "xla") -> "ShardedBarotropicModel":
         n = axis_size(mesh, axis)
         if cfg.nx % n != 0:
             raise ValueError(
@@ -109,7 +133,7 @@ class ShardedBarotropicModel:
         t = SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
-        fwd, inv = dfft.make_fft_pair(axis, n)
+        fwd, inv = _fft_pair(fft_impl, axis, n)
         tspec = table_specs(axis)
         spec2d = P(axis, None)
 
@@ -127,13 +151,17 @@ class ShardedBarotropicModel:
         def diags_local(tl, zeta_hat):
             return barotropic.diag_fields(tl, zeta_hat, g, inv=inv)
 
+        # Pallas collectives don't carry varying-mesh-axis metadata, so
+        # shard_map's vma check must be off for the DMA-based FFT impls.
+        vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
                             in_specs=(tspec, spec2d, spec2d),
-                            out_specs=spec2d)
+                            out_specs=spec2d, check_vma=vma)
         diags_sm = shard_map(diags_local, mesh=mesh,
                              in_specs=(tspec, spec2d),
                              out_specs=barotropic.DiagFields(
-                                 vort=spec2d, psi=spec2d, u=spec2d, v=spec2d))
+                                 vort=spec2d, psi=spec2d, u=spec2d, v=spec2d),
+                             check_vma=vma)
 
         step = jax.jit(functools.partial(step_sm, t))
 
@@ -142,7 +170,7 @@ class ShardedBarotropicModel:
             local = shard_map(
                 functools.partial(segment_local, n_steps=n_steps),
                 mesh=mesh, in_specs=(tspec, spec2d, spec2d),
-                out_specs=spec2d)
+                out_specs=spec2d, check_vma=vma)
             return local(t, zeta_hat, src)
 
         diags = jax.jit(functools.partial(diags_sm, t))
@@ -192,7 +220,8 @@ class ShardedShallowWaterModel:
 
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
-              axis: str = AXIS) -> "ShardedShallowWaterModel":
+              axis: str = AXIS,
+              fft_impl: str = "xla") -> "ShardedShallowWaterModel":
         from ..models import shallow_water as sw
 
         n = axis_size(mesh, axis)
@@ -204,7 +233,7 @@ class ShardedShallowWaterModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
-        fwd, inv = dfft.make_fft_pair(axis, n)
+        fwd, inv = _fft_pair(fft_impl, axis, n)
         tspec = table_specs(axis)
         spec2d = P(axis, None)
         sspec = sw.SWState(zeta_hat=spec2d, div_hat=spec2d, eta_hat=spec2d)
@@ -213,9 +242,10 @@ class ShardedShallowWaterModel:
             return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
                                fwd=fwd, inv=inv)
 
+        vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
                             in_specs=(tspec, sspec, spec2d),
-                            out_specs=sspec)
+                            out_specs=sspec, check_vma=vma)
         step = jax.jit(functools.partial(step_sm, t))
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -228,7 +258,7 @@ class ShardedShallowWaterModel:
                 return out
             return shard_map(seg_local, mesh=mesh,
                              in_specs=(tspec, sspec, spec2d),
-                             out_specs=sspec)(t, s, src)
+                             out_specs=sspec, check_vma=vma)(t, s, src)
 
         def diags_local(tl, s):
             u_hat, v_hat = sw.sw_velocities(tl, s.zeta_hat, s.div_hat)
@@ -242,7 +272,8 @@ class ShardedShallowWaterModel:
         dspec = sw.SWDiagFields(vort=spec2d, div=spec2d, h=spec2d,
                                 u=spec2d, v=spec2d, psi=spec2d)
         diags_sm = shard_map(diags_local, mesh=mesh,
-                             in_specs=(tspec, sspec), out_specs=dspec)
+                             in_specs=(tspec, sspec), out_specs=dspec,
+                             check_vma=vma)
         diags = jax.jit(functools.partial(diags_sm, t))
 
         return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
