@@ -164,3 +164,11 @@ def test_2d_mesh_multihost_layout():
     scale = max(1e-30, float(jnp.max(jnp.abs(z1))))
     np.testing.assert_allclose(np.asarray(z2) / scale,
                                np.asarray(z1) / scale, rtol=0, atol=2e-5)
+
+
+def test_multihost_initialize_noop_single_process():
+    """No coordinator config -> no-op False; rank 0 owns I/O."""
+    from xlab_fftbarotropic_tpu.parallel import multihost
+
+    assert multihost.initialize() is False
+    assert multihost.is_primary()

@@ -40,11 +40,22 @@ def main(argv=None):
     p.add_argument("--shard", action="store_true",
                    help="shard the run over ALL local devices "
                         "(slab decomposition; barotropic and sw only)")
+    p.add_argument("--shard-fft", default="xla",
+                   choices=["xla", "pallas", "overlap"],
+                   help="distributed-FFT implementation for --shard runs: "
+                        "XLA all_to_all transposes (default), explicit "
+                        "Pallas DMA transposes, or the fused overlapped "
+                        "transpose+DFT kernel")
     args = p.parse_args(argv)
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.shard:
+        # no-op unless XFB_COORDINATOR/XFB_MULTIHOST env is configured
+        from ..parallel import initialize_multihost
+        initialize_multihost()
 
     cfg = config_from_args(args)
     recipe, src_path = "empty", None
@@ -70,7 +81,8 @@ def main(argv=None):
     result = run(cfg, recipe=recipe, src_path=src_path,
                  record=not args.no_record, manifest_path=args.manifest,
                  progress=True, resume_from=args.resume_from,
-                 model_kind=args.model, shard=args.shard)
+                 model_kind=args.model, shard=args.shard,
+                 shard_fft=args.shard_fft)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

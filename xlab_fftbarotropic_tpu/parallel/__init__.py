@@ -6,6 +6,8 @@ jax.sharding.Mesh (dfft.py) and the fully sharded RK4 stepper (model.py).
 """
 
 from .dfft import irfft2_local, make_fft_pair, rfft2_local  # noqa: F401
+from .multihost import initialize as initialize_multihost  # noqa: F401
+from .multihost import is_primary  # noqa: F401
 from .model import (  # noqa: F401
     AXIS,
     axis_size,

@@ -1,0 +1,69 @@
+"""Multi-host bootstrap (SURVEY.md §6 "failure detection / elastic
+recovery" row: multi-host init via jax.distributed).
+
+The reference is a single process (SURVEY.md §2); multi-host execution is
+a new capability. The model path needs nothing special — `make_mesh` /
+`make_mesh2d` over `jax.devices()` already sees the GLOBAL device set once
+the distributed runtime is up — so all this module does is make that
+bring-up explicit, env-driven, and idempotent, and give restarts a clean
+re-entry (the checkpoint/resume path in io/checkpoint.py is per-run state;
+process topology comes from here).
+
+Environment contract (a subset of the common cluster launchers'):
+  XFB_COORDINATOR   host:port of process 0 (also accepts
+                    JAX_COORDINATOR_ADDRESS)
+  XFB_NUM_PROCESSES total process count   (also JAX_NUM_PROCESSES)
+  XFB_PROCESS_ID    this process's rank   (also JAX_PROCESS_ID)
+On TPU pods with the standard metadata environment, plain
+`jax.distributed.initialize()` auto-discovers everything; set only
+XFB_MULTIHOST=1 to request that path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Bring up jax.distributed if configured; return True when running
+    multi-process after the call.
+
+    Priority: explicit args > XFB_*/JAX_* env > TPU-pod auto-discovery
+    (XFB_MULTIHOST=1). With none of these present this is a no-op
+    returning False — single-process runs never pay for it. Idempotent:
+    a second call on an initialized runtime is a no-op."""
+    import jax
+
+    if jax.process_count() > 1:
+        return True
+
+    env = os.environ
+    coordinator = (coordinator or env.get("XFB_COORDINATOR")
+                   or env.get("JAX_COORDINATOR_ADDRESS"))
+    nproc = num_processes if num_processes is not None else int(
+        env.get("XFB_NUM_PROCESSES", env.get("JAX_NUM_PROCESSES", 0)) or 0)
+    pid = process_id if process_id is not None else (
+        int(env["XFB_PROCESS_ID"]) if "XFB_PROCESS_ID" in env
+        else int(env["JAX_PROCESS_ID"]) if "JAX_PROCESS_ID" in env
+        else None)
+
+    if coordinator and nproc:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=nproc,
+                                   process_id=pid)
+        return jax.process_count() > 1
+    if env.get("XFB_MULTIHOST"):
+        jax.distributed.initialize()  # pod metadata auto-discovery
+        return jax.process_count() > 1
+    return False
+
+
+def is_primary() -> bool:
+    """True on the process that should own host-side I/O (manifest,
+    checkpoints, record files) — rank 0, or any single-process run."""
+    import jax
+
+    return jax.process_index() == 0

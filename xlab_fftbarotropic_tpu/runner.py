@@ -168,15 +168,18 @@ class _FDAdapter:
 
 
 def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
-                 model=None, shard: bool = False):
+                 model=None, shard: bool = False,
+                 shard_fft: str = "xla"):
     if shard and model is None:
         from .parallel import (ShardedBarotropicModel,
                                ShardedShallowWaterModel, make_mesh)
         mesh = make_mesh()
         if model_kind in ("barotropic", "bt"):
-            model = ShardedBarotropicModel.build(cfg, mesh)
+            model = ShardedBarotropicModel.build(cfg, mesh,
+                                                 fft_impl=shard_fft)
         elif model_kind in ("shallow-water", "sw"):
-            model = ShardedShallowWaterModel.build(cfg, mesh)
+            model = ShardedShallowWaterModel.build(cfg, mesh,
+                                                   fft_impl=shard_fft)
         else:
             raise ValueError(
                 f"--shard is not supported for model kind {model_kind!r}")
@@ -200,6 +203,7 @@ def run(cfg: ModelConfig,
         model: Optional[BarotropicModel] = None,
         model_kind: str = "barotropic",
         shard: bool = False,
+        shard_fft: str = "xla",
         collect_stats: bool = True,
         check_finite: bool = True) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
@@ -209,7 +213,8 @@ def run(cfg: ModelConfig,
     model_kind: 'barotropic' (default) or 'shallow-water' — the SW family
     starts from geostrophically balanced height/zero divergence.
     """
-    adapter = make_adapter(cfg, model_kind, model, shard=shard)
+    adapter = make_adapter(cfg, model_kind, model, shard=shard,
+                           shard_fft=shard_fft)
 
     start_step = 0
     if resume_from is not None:
