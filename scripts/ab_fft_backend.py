@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--backends", nargs="+", default=["xla", "mxu"])
     ap.add_argument("--model", default="barotropic",
                     choices=["barotropic", "sw"])
+    ap.add_argument("--dt", type=float, default=None,
+                    help="override cfg.dt (the SW gravity-wave CFL bound "
+                         "is ~0.85 s at 4096^2; barotropic default 3 s)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -42,11 +45,16 @@ def main():
     # gaussian IC (bench.py's config): kuo2004's 75 m/s peak wind violates
     # CFL at 4096^2 with the default dt and the segment goes NaN
     cfg0 = ModelConfig(nx=args.nx, ny=args.nx)
+    if args.dt is not None:
+        cfg0 = cfg0.replace(dt=args.dt)
     results = {}
     for name in args.backends:
-        # pseudo-backends: 'pallas-high' = Precision.HIGH matmuls,
-        # 'pallas-b256' = 256-lane blocks, 'pallas-planes' = the fused
-        # plane-state stepper (barotropic.PLANE_STEPPER)
+        # pseudo-backends: '-high' suffix = Precision.HIGH (bf16x3)
+        # matmuls, '-b256' = 256-lane blocks, 'pallas-planes*' = the
+        # fused plane-state stepper (barotropic.PLANE_STEPPER). BLOCK
+        # changes are only safe ACROSS processes (XFB_PALLAS_BLOCK env;
+        # in-process rebuilds trip a lowering-cache bug), so '-b256' in
+        # a mixed list is refused.
         build_name = name
         planes = False
         if name.startswith("pallas"):
@@ -54,10 +62,15 @@ def main():
 
             from xlab_fftbarotropic_tpu.ops import pallas_fft
             pallas_fft.PRECISION = (_jax.lax.Precision.HIGH
-                                    if name == "pallas-high"
+                                    if name.endswith("-high")
                                     else _jax.lax.Precision.HIGHEST)
-            pallas_fft.BLOCK = 256 if name == "pallas-b256" else 128
-            planes = name == "pallas-planes"
+            if name.endswith("-b256"):
+                if len(args.backends) > 1:
+                    raise SystemExit("-b256 variants need their own "
+                                     "process: XFB_PALLAS_BLOCK=256 + a "
+                                     "single backend")
+                pallas_fft.BLOCK = 256
+            planes = name.startswith("pallas-planes")
             build_name = "pallas"
         from xlab_fftbarotropic_tpu.models import barotropic as _bt
         _bt.PLANE_STEPPER = planes

@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--nx", type=int, default=2048)
     ap.add_argument("--total-steps", type=int, default=10_000)
     ap.add_argument("--segment", type=int, default=1000)
+    ap.add_argument("--ic", default="kuo2004",
+                    choices=["kuo2004", "gaussian"],
+                    help="kuo2004 (config #4) violates CFL at 4096^2 "
+                         "with the default dt (CLAUDE.md); use gaussian "
+                         "there")
     args = ap.parse_args()
 
     import jax
@@ -32,7 +37,8 @@ def main():
 
     cfg = ModelConfig(nx=args.nx, ny=args.nx)
     model = BarotropicModel.build(cfg)
-    z = model.init_state(makefields.kuo2004(cfg))
+    ic = getattr(makefields, args.ic)
+    z = model.init_state(ic(cfg))
     src = jnp.zeros(cfg.grid_shape, jnp.float32)
 
     # warm-up/compile segment (excluded from timing)

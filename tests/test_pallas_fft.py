@@ -126,3 +126,17 @@ def test_forward_tendency_matches_composition():
         jnp.asarray(z.real), jnp.asarray(z.imag), nu, cfg.grid_shape)
     got = np.asarray(tr) + 1j * np.asarray(ti)
     assert _rel(ref, got) < 2e-5
+
+
+def test_plane_stepper_size_gate():
+    """The fused plane stepper is capped at PLANE_STEPPER_MAX: the 8192^2
+    Mosaic compile OOM-kills the AOT compile helper (BASELINE.md), so the
+    pallas backend must fall back to the per-transform pipeline there."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    assert bt.use_plane_stepper((4096, 4096)) == bt.PLANE_STEPPER
+    assert not bt.use_plane_stepper((8192, 8192))
+    *_, quad = bt.resolve_fft_backend("pallas", (8192, 8192))
+    assert quad is None
+    *_, quad4 = bt.resolve_fft_backend("pallas", (4096, 4096))
+    assert quad4 is not None

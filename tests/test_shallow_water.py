@@ -125,3 +125,26 @@ def test_sw_reduces_toward_barotropic_at_large_depth():
     vort_bt = np.asarray(bt.diags(z)[0])
     scale = np.abs(vort_bt).max()
     assert np.abs(vort_sw - vort_bt).max() < 0.05 * scale
+
+
+def test_gravity_wave_cfl_warning():
+    """dt above the RK4 gravity-wave bound must warn at build time (the
+    4096^2 default-dt NaN, BASELINE.md); a compliant dt must not."""
+    import warnings
+
+    from xlab_fftbarotropic_tpu.models.shallow_water import (
+        ShallowWaterModel, max_stable_dt)
+
+    cfg = ModelConfig(nx=64, ny=64, dt=10 * max_stable_dt(
+        ModelConfig(nx=64, ny=64)))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ShallowWaterModel.build(cfg)
+    assert any("CFL" in str(x.message) for x in w)
+
+    ok = ModelConfig(nx=64, ny=64)
+    assert ok.dt < max_stable_dt(ok)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ShallowWaterModel.build(ok)
+    assert not any("CFL" in str(x.message) for x in w)

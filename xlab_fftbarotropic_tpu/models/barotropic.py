@@ -40,22 +40,36 @@ from ..ops.spectral import SpectralTables
 # the unrolled 4-transform body) and the measured step is 44.0 ms at
 # 4096^2 — 381 M gp/s/chip, 1.16x the per-transform fused pipeline,
 # 1.73x the XLA-FFT core, with a bit-identical 30-step checksum
-# (BASELINE.md ledger, 2026-08-17). ON by default.
+# (BASELINE.md ledger, 2026-08-17). ON by default up to
+# PLANE_STEPPER_MAX: at 8192^2 the Mosaic compile of the fused kernels
+# OOM-SIGKILLs the AOT compile helper (verified 2026-08-17), so larger
+# grids fall back to the per-transform fused pipeline.
 PLANE_STEPPER = True
+PLANE_STEPPER_MAX = 4096
+
+
+def use_plane_stepper(grid_shape) -> bool:
+    return (PLANE_STEPPER
+            and max(grid_shape) <= PLANE_STEPPER_MAX)
 
 
 def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
     """Resolve 'auto' to a concrete backend name for this process/grid.
 
     Measured crossover (BASELINE.md): the fused Pallas pipeline wins
-    decisively at 4096^2 (1.48x) but loses to XLA's FFT at 2048^2
-    (0.80x — XLA peaks at 442 M gp/s there), so 'auto' switches on
-    pallas only from 4096 up.
+    decisively at 4096^2 (1.73x with the plane stepper) but loses to
+    XLA's FFT at 2048^2 (0.90x — XLA runs 429 M gp/s there), and at
+    8192^2 the remote AOT compile helper OOMs on the Pallas kernels, so
+    'auto' selects pallas exactly at 4096^2 on TPU.
     """
     if name != "auto":
         return name
     nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-    pallas_ok = (nx == ny and nx >= 4096 and nx & (nx - 1) == 0)
+    # upper cap: at 8192^2 BOTH pallas pipelines OOM-SIGKILL the remote
+    # AOT compile helper (verified 2026-08-17, per-transform and planes)
+    # — an environment memory limit, not a kernel property. Explicit
+    # --fft-backend pallas stays available for hosts with more RAM.
+    pallas_ok = (nx == ny and nx == 4096 and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
         return "pallas"
     return "xla"
@@ -88,7 +102,7 @@ def resolve_fft_backend(name: str, grid_shape=None):
                                               t.rlap, grid_shape)
         return (pallas_fft.rfft2, pallas_fft.irfft2,
                 pallas_fft.inverse_pair,
-                quad if PLANE_STEPPER else None)
+                quad if use_plane_stepper(grid_shape or (0, 0)) else None)
     if name == "xla":
         return fft.forward, fft.inverse, fft.inverse_pair, None
     raise ValueError(f"unknown fft_backend: {name!r}")
@@ -272,7 +286,7 @@ class BarotropicModel:
         # constants, which forces a device->host fetch at lowering time —
         # slow, bloats the executable, and unsupported over remote-device
         # tunnels for large buffers.
-        if resolved == "pallas" and PLANE_STEPPER:
+        if resolved == "pallas" and use_plane_stepper(g):
             # plane-state stepper: complex <-> (re, im) conversion only
             # at the segment boundary (see rk4_step_planes)
             @jax.jit

@@ -152,6 +152,24 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
     return _axpy(s, comb, dt / 6.0)
 
 
+def max_stable_dt(cfg) -> float:
+    """RK4 gravity-wave stability bound: the fastest linear mode is the
+    corner gravity wave omega_max = sqrt(g*H) * k_max with
+    k_max = pi*hypot(nx/lx, ny/ly) (positive-Nyquist convention,
+    SURVEY.md §5.3); RK4's imaginary-axis limit is |omega*dt| <= 2*sqrt(2).
+    Returns that bound with a 0.9 safety factor. The reference never hit
+    this (its SW driver integrates barotropic dynamics, SURVEY.md C6);
+    the real SW system here does: dt=3 s is stable at 768^2 but NaNs at
+    4096^2 (measured) — this is the resolution-dependent physics bound,
+    not an implementation artifact."""
+    import math
+
+    c = math.sqrt(float(cfg.gravity) * float(cfg.mean_depth))
+    k_max = math.pi * math.hypot(cfg.nx / float(cfg.lx),
+                                 cfg.ny / float(cfg.ly))
+    return 0.9 * 2.0 * math.sqrt(2.0) / (c * k_max)
+
+
 class SWStats(NamedTuple):
     """Conserved / monitoring scalars.
 
@@ -181,12 +199,24 @@ class ShallowWaterModel:
     @classmethod
     def build(cls, cfg: ModelConfig,
               tables: Optional[SpectralTables] = None) -> "ShallowWaterModel":
+        """Compiled SW stepper bundle; warns when dt violates the
+        gravity-wave CFL bound (see max_stable_dt)."""
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g_shape = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
 
         H = float(cfg.mean_depth)
+
+        dt_max = max_stable_dt(cfg)
+        if dt > dt_max:
+            import warnings
+            warnings.warn(
+                f"SW gravity-wave CFL violated: dt={dt:g} s exceeds the "
+                f"RK4 stability bound {dt_max:.3g} s for c=sqrt(gH)="
+                f"{(grav * H) ** 0.5:.1f} m/s at {cfg.nx}x{cfg.ny} — the "
+                "run will blow up; reduce dt (verified NaN at 4096^2 "
+                "with dt=3)", stacklevel=2)
 
         from .barotropic import resolve_fft_backend
         fwd, inv, inv_pair, _quad = resolve_fft_backend(
@@ -267,19 +297,26 @@ class ShallowWaterModel:
         eta_hat = (f/g) * psi_hat, which eliminates the fast gravity-wave
         transient for small Rossby number."""
         cfg = self.cfg
-        zeta_hat = fft.forward(jnp.asarray(vort0, jnp.float32))
-        psi_hat = sp.invert_laplacian(self.tables, zeta_hat)
-        # zero the mean mode by multiply, not .at[].set — an eager scatter
-        # into a large complex device array is Unimplemented on the
-        # remote-TPU backend (same gap family as reverse/roll; CLAUDE.md)
+        # whole init under jit, mean mode zeroed by a mask multiply: the
+        # remote-TPU backend can't run eager scatters (.at[].set) or eager
+        # complex broadcasts (zeros_like) on large arrays (CLAUDE.md gap
+        # family); compiled they lower fine. Tables passed as arguments
+        # (closure constants would be fetched at lowering).
         import numpy as np
         mean_mask = np.ones(cfg.spectral_shape, np.float32)
         mean_mask[0, 0] = 0.0
-        eta_hat = ((float(cfg.f) / float(cfg.gravity)) * psi_hat
-                   * jnp.asarray(mean_mask))
-        return SWState(zeta_hat=zeta_hat,
-                       div_hat=jnp.zeros_like(zeta_hat),
-                       eta_hat=eta_hat)
+        fg = float(cfg.f) / float(cfg.gravity)
+
+        @jax.jit
+        def init(t, v, mask):
+            zeta_hat = fft.forward(v)
+            psi_hat = sp.invert_laplacian(t, zeta_hat)
+            return SWState(zeta_hat=zeta_hat,
+                           div_hat=jnp.zeros_like(zeta_hat),
+                           eta_hat=fg * psi_hat * mask)
+
+        return init(self.tables, jnp.asarray(vort0, jnp.float32),
+                    jnp.asarray(mean_mask))
 
     def zero_source(self) -> jax.Array:
         return jnp.zeros(self.cfg.grid_shape, jnp.float32)
