@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
     ap.add_argument("--force-host", type=int, default=0,
                     help="use N virtual CPU devices (validation mode)")
+    ap.add_argument("--fft-impl", default="xla",
+                    choices=["xla", "pallas", "overlap"],
+                    help="distributed-FFT implementation for the sharded "
+                         "runs (parallel/model.py:_fft_pair)")
     args = ap.parse_args()
 
     if args.force_host:
@@ -66,7 +70,8 @@ def main():
             z = model.init_state(vort0)
             src = jnp.zeros(cfg.grid_shape, jnp.float32)
         else:
-            model = ShardedBarotropicModel.build(cfg, make_mesh(devices[:n]))
+            model = ShardedBarotropicModel.build(cfg, make_mesh(devices[:n]),
+                                                 fft_impl=args.fft_impl)
             z = model.init_state(vort0)
             src = model.zero_source()
         out = model.segment(z, src, args.steps)

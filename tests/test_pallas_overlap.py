@@ -105,3 +105,18 @@ def test_sharded_model_with_overlap_fft(mesh, rng):
     a = np.asarray(jnp.fft.irfft2(z1, s=cfg.grid_shape))
     b = np.asarray(jnp.fft.irfft2(jnp.asarray(z2), s=cfg.grid_shape))
     assert np.max(np.abs(a - b)) < 1e-6 * max(1.0, np.max(np.abs(a)))
+
+
+def test_plan_chunks_hardware_mode():
+    """Hardware chunk plan: 128-lane chunks, half axis padded to P*128
+    (both Mosaic alignment constraints verified on hardware)."""
+    from xlab_fftbarotropic_tpu.parallel.pallas_overlap import plan_chunks
+
+    hpad, q = plan_chunks(2049, 8, 4, interpret=False)
+    assert hpad == 3072 and q == 3          # 4096^2 north-star shape
+    assert hpad % (8 * 128) == 0
+    hpad, q = plan_chunks(257, 1, 4, interpret=False)
+    assert hpad == 384 and q == 3           # 512^2 hardware smoke shape
+    # interpret honors n_chunks exactly
+    hpad, q = plan_chunks(33, 8, 2, interpret=True)
+    assert hpad == 48 and q == 2

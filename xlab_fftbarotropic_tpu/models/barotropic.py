@@ -82,11 +82,11 @@ def resolve_fft_backend(name: str, grid_shape=None):
 
     'xla' is jnp.fft (ops/fft.py); 'mxu' is the einsum matmul four-step
     FFT (ops/mxu_fft.py); 'pallas' is the fused VMEM-resident kernel
-    pipeline (ops/pallas_fft.py — measured 1.48x the XLA core at 4096^2).
-    'auto' picks 'pallas' on a real TPU backend for the grids it supports
-    (power-of-two square, >= 256) and 'xla' everywhere else. All honor
-    the FFTW normalization contract (SURVEY.md §5.2) and agree to float32
-    round-off.
+    pipeline (ops/pallas_fft.py — with the plane stepper, measured 1.73x
+    the XLA core at 4096^2). 'auto' picks 'pallas' on a real TPU backend
+    exactly at 4096^2 (see resolve_fft_backend_name) and 'xla'
+    everywhere else. All honor the FFTW normalization contract
+    (SURVEY.md §5.2) and agree to float32 round-off.
     """
     name = resolve_fft_backend_name(name, grid_shape)
     if name == "mxu":

@@ -54,16 +54,20 @@ def _xstage_kernel(n_shards: int, n_chunks: int, axis_name: str,
     """in (2, rows_l, hpad) HBM -> out (2, rows_l, hpad) HBM with the
     length-nx DFT applied along the distributed x axis.
 
-    sc_in/sc_out: (2, nx, W) VMEM receive/send staging; sem arrays are
-    (P, Q) so every in-flight DMA system-wide has a distinct slot (the
-    rotated-phase protocol of pallas_transpose.py, extended by a chunk
-    index)."""
+    sc_in/sc_out: (2, nx, W) VMEM receive/send staging. On hardware the
+    chunk width w is a fixed 128 lanes (see xstage): Mosaic requires
+    128-aligned lane widths both for DMA slices of VMEM refs ("Slice
+    shape along dimension 2 must be aligned to tiling (128)") and for
+    the matmul lane flattening ("unsupported shape cast") — both
+    verified on real hardware. Sem arrays are (P, Q) so every in-flight
+    DMA system-wide has a distinct slot (the rotated-phase protocol of
+    pallas_transpose.py, extended by a chunk index)."""
     p = n_shards
     q_n = n_chunks
     me = lax.axis_index(axis_name)
     _, rows_l, hpad = in_ref.shape
     w_big = hpad // p           # W: my column width after transpose
-    w = w_big // q_n            # chunk width
+    w = w_big // q_n            # chunk width (data lanes per slot)
     nx = rows_l * p
 
     # phase 1: all (peer, chunk) sends start now. Target t owns columns
@@ -99,7 +103,8 @@ def _xstage_kernel(n_shards: int, n_chunks: int, axis_name: str,
         xr = sc_in[0, :, pl.ds(q * w, w)]
         xi = sc_in[1, :, pl.ds(q * w, w)]
         yr, yi = _four_step(xr, xi, nx, w, far_ref[:], fai_ref[:],
-                            twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
+                            twr_ref[:], twi_ref[:], fbr_ref[:],
+                            fbi_ref[:])
         sc_out[0, :, pl.ds(q * w, w)] = yr
         sc_out[1, :, pl.ds(q * w, w)] = yi
         for k in range(p):
@@ -129,6 +134,25 @@ def _xstage_kernel(n_shards: int, n_chunks: int, axis_name: str,
                 device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
 
 
+def plan_chunks(hny: int, n_shards: int, n_chunks: int,
+                interpret: bool):
+    """(hpad, chunk_count) for the x-stage pipeline.
+
+    Hardware: fixed 128-lane chunks — Mosaic requires 128-aligned lane
+    widths both for DMA slices of VMEM refs and for matmul lane
+    flattening (verified on hardware; kernel docstring), so the half
+    axis pads to a multiple of P*128 and n_chunks is ignored. Pad cost
+    at P=8, hny=2049: hpad=3072, 1.5x x-stage traffic, partially hidden
+    by the overlap. Interpret mode honors n_chunks exactly
+    (fine-grained pipeline-logic testing at tiny sizes)."""
+    if interpret:
+        gran = n_shards * n_chunks
+        return -(-hny // gran) * gran, n_chunks
+    lane = 128
+    hpad = -(-hny // (n_shards * lane)) * (n_shards * lane)
+    return hpad, hpad // (n_shards * lane)
+
+
 def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
            forward: bool, n_chunks: int = 4, interpret: bool = False,
            scale: float = 1.0) -> jax.Array:
@@ -141,16 +165,15 @@ def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
     """
     rows_l, hny = spec_rows.shape
     nx = rows_l * n_shards
-    gran = n_shards * n_chunks
-    hpad = -(-hny // gran) * gran
+    hpad, q_n = plan_chunks(hny, n_shards, n_chunks, interpret)
     if hpad != hny:
         spec_rows = jnp.pad(spec_rows, ((0, 0), (0, hpad - hny)))
     planes = jnp.stack([jnp.real(spec_rows), jnp.imag(spec_rows)])
     tables = [jnp.asarray(t) for t in _ka_tables(nx, forward, scale)]
     w_big = hpad // n_shards
-    sems = pltpu.SemaphoreType.DMA((n_shards, n_chunks))
+    sems = pltpu.SemaphoreType.DMA((n_shards, q_n))
     out = pl.pallas_call(
-        functools.partial(_xstage_kernel, n_shards, n_chunks, axis_name),
+        functools.partial(_xstage_kernel, n_shards, q_n, axis_name),
         out_shape=jax.ShapeDtypeStruct((2, rows_l, hpad), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
@@ -158,7 +181,11 @@ def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
         scratch_shapes=[pltpu.VMEM((2, nx, w_big), jnp.float32),
                         pltpu.VMEM((2, nx, w_big), jnp.float32),
                         sems, sems, sems, sems],
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        # collective_id only with real communication: Mosaic rejects it
+        # on a 1-device mesh ("collective_id has to be unspecified ...
+        # when not using a custom barrier", verified on hardware)
+        compiler_params=(pltpu.CompilerParams(collective_id=0)
+                         if n_shards > 1 else pltpu.CompilerParams()),
         interpret=interpret,
     )(planes, *tables)
     return lax.complex(out[0], out[1])[:, :hny]

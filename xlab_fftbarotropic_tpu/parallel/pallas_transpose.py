@@ -120,7 +120,10 @@ def _call(kernel, out_shape, n_shards, axis_name, x, interpret):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_shards,)),
                         pltpu.SemaphoreType.DMA((n_shards,))],
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        # Mosaic rejects collective_id without real communication
+        # (1-device mesh) — verified on hardware via pallas_overlap
+        compiler_params=(pltpu.CompilerParams(collective_id=0)
+                         if n_shards > 1 else pltpu.CompilerParams()),
         interpret=interpret,
     )(x)
 
