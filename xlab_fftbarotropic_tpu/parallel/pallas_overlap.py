@@ -25,12 +25,15 @@ Complex data moves as (2, rows, cols) float32 planes: complex64 is not a
 Mosaic-native dtype and the plane layout keeps the compute loads
 contiguous (no lane de-interleave).
 
-The half axis is padded to a multiple of P*Q so every chunk has equal
-width; the pad columns are zeros (DFT of zeros is zeros) and are stripped
+The half axis is padded so every chunk has equal, hardware-legal width
+(plan_chunks: fixed 128-lane chunks on TPU, exact n_chunks in interpret
+mode); the pad columns are zeros (DFT of zeros is zeros) and are stripped
 on return, never observed. Verified in Pallas interpret mode on the
 virtual CPU mesh against the unfused dfft.py path
-(tests/test_pallas_overlap.py); real multi-chip hardware is not available
-in this environment (BASELINE.md), so on-hardware numbers await a pod.
+(tests/test_pallas_overlap.py) AND compiled+run on a real TPU chip (P=1
+mesh) with a trajectory bit-identical to the XLA-collective path; real
+multi-chip hardware is not available in this environment (BASELINE.md),
+so cross-chip timing awaits a pod.
 """
 
 from __future__ import annotations
