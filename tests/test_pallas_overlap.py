@@ -112,11 +112,28 @@ def test_plan_chunks_hardware_mode():
     (both Mosaic alignment constraints verified on hardware)."""
     from xlab_fftbarotropic_tpu.parallel.pallas_overlap import plan_chunks
 
-    hpad, q = plan_chunks(2049, 8, 4, interpret=False)
+    hpad, q = plan_chunks(2049, 8, 4, lane_plan=True)
     assert hpad == 3072 and q == 3          # 4096^2 north-star shape
     assert hpad % (8 * 128) == 0
-    hpad, q = plan_chunks(257, 1, 4, interpret=False)
+    hpad, q = plan_chunks(257, 1, 4, lane_plan=True)
     assert hpad == 384 and q == 3           # 512^2 hardware smoke shape
-    # interpret honors n_chunks exactly
-    hpad, q = plan_chunks(33, 8, 2, interpret=True)
+    # the n_chunks plan honors n_chunks exactly
+    hpad, q = plan_chunks(33, 8, 2, lane_plan=False)
     assert hpad == 48 and q == 2
+
+
+def test_xstage_hardware_chunk_geometry(mesh, rng):
+    """The EXACT hardware chunk plan (fixed 128-lane slots, padded to
+    P*128) executed in interpret mode at P=8: hny=1025 -> hpad=2048,
+    2 chunks of 128 lanes per shard — the geometry a pod will run."""
+    n = mesh.shape["x"]
+    s = _spec(rng, (64, 1025))
+
+    ours = jax.jit(shard_map(
+        lambda a: po.xstage(a, "x", n, forward=True, interpret=True,
+                            lane_plan=True),
+        mesh=mesh, in_specs=P("x", None), out_specs=P("x", None),
+        check_vma=False))
+    ref = np.fft.fft(s, axis=0).astype(np.complex64)
+    got = np.asarray(ours(jnp.asarray(s)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)

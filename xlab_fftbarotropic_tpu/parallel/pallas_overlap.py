@@ -138,17 +138,18 @@ def _xstage_kernel(n_shards: int, n_chunks: int, axis_name: str,
 
 
 def plan_chunks(hny: int, n_shards: int, n_chunks: int,
-                interpret: bool):
+                lane_plan: bool):
     """(hpad, chunk_count) for the x-stage pipeline.
 
-    Hardware: fixed 128-lane chunks — Mosaic requires 128-aligned lane
-    widths both for DMA slices of VMEM refs and for matmul lane
-    flattening (verified on hardware; kernel docstring), so the half
-    axis pads to a multiple of P*128 and n_chunks is ignored. Pad cost
-    at P=8, hny=2049: hpad=3072, 1.5x x-stage traffic, partially hidden
-    by the overlap. Interpret mode honors n_chunks exactly
-    (fine-grained pipeline-logic testing at tiny sizes)."""
-    if interpret:
+    lane_plan=True (the hardware plan): fixed 128-lane chunks — Mosaic
+    requires 128-aligned lane widths both for DMA slices of VMEM refs
+    and for matmul lane flattening (verified on hardware; kernel
+    docstring), so the half axis pads to a multiple of P*128 and
+    n_chunks is ignored. Pad cost at P=8, hny=2049: hpad=3072, 1.5x
+    x-stage traffic, partially hidden by the overlap. lane_plan=False
+    honors n_chunks exactly (fine-grained pipeline-logic testing at
+    tiny sizes; interpret mode only)."""
+    if not lane_plan:
         gran = n_shards * n_chunks
         return -(-hny // gran) * gran, n_chunks
     lane = 128
@@ -158,7 +159,8 @@ def plan_chunks(hny: int, n_shards: int, n_chunks: int,
 
 def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
            forward: bool, n_chunks: int = 4, interpret: bool = False,
-           scale: float = 1.0) -> jax.Array:
+           scale: float = 1.0, lane_plan: Optional[bool] = None
+           ) -> jax.Array:
     """shard_map-local fused transpose+DFT+transpose along x.
 
     spec_rows: local (nx/P, hny) complex64 -> local (nx/P, hny) complex64
@@ -168,7 +170,10 @@ def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
     """
     rows_l, hny = spec_rows.shape
     nx = rows_l * n_shards
-    hpad, q_n = plan_chunks(hny, n_shards, n_chunks, interpret)
+    if lane_plan is None:      # hardware plan on hardware; override for
+        lane_plan = not interpret   # interpret tests of the exact
+    #                               hardware chunk geometry
+    hpad, q_n = plan_chunks(hny, n_shards, n_chunks, lane_plan)
     if hpad != hny:
         spec_rows = jnp.pad(spec_rows, ((0, 0), (0, hpad - hny)))
     planes = jnp.stack([jnp.real(spec_rows), jnp.imag(spec_rows)])
