@@ -4,10 +4,14 @@ North-star metric (BASELINE.md): grid-points/s/chip for a full RK4 step
 (20 FFTs + spectral pointwise work) at 4096^2. The reference publishes no
 numbers (SURVEY.md §7), so `vs_baseline` is measured against this repo's
 own CPU oracle (oracle/reference_cpu.py) — a line-for-line float32
-numpy re-implementation of the serial reference pipeline — extrapolated
-from a smaller grid (serial N^2 log N scaling), standing in for the
-single-threaded FFTW3f reference binary which cannot be built here
-(no FFTW; SURVEY.md Phase 0 note).
+numpy re-implementation of the serial reference pipeline — standing in
+for the single-threaded FFTW3f reference binary which cannot be built
+here (no FFTW; SURVEY.md Phase 0 note). The oracle is timed at a small
+grid (running it at 4096^2 would take minutes per step) and its
+grid-points/s is extrapolated to the bench grid with the serial
+N^2 log N FFT cost model: per-point cost scales with log(nx), so
+gp/s(bench_nx) = gp/s(oracle_nx) * log(oracle_nx)/log(bench_nx). The
+JSON records the method in `baseline_method`.
 
 Usage: python bench.py [--nx N] [--steps S] [--quick]
 """
@@ -104,8 +108,20 @@ def main():
         "metric": f"rk4{tag}_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
         "value": round(gps, 1),
         "unit": "grid-points/s/chip",
-        "vs_baseline": round(gps / base, 2) if base else None,
     }
+    if base:
+        import math
+        # serial per-grid-point cost ~ log(nx) (N^2 log N FFTs), so the
+        # oracle's gp/s measured at oracle_nx shrinks by
+        # log(oracle_nx)/log(nx) at the bench grid.
+        base_at_bench = base * math.log(args.oracle_nx) / math.log(args.nx)
+        out["vs_baseline"] = round(gps / base_at_bench, 2)
+        out["baseline_method"] = (
+            f"serial CPU oracle measured at {args.oracle_nx}^2 "
+            f"({base / 1e6:.2f}M gp/s), extrapolated to {args.nx}^2 by "
+            "N^2logN scaling (gp/s * log(oracle_nx)/log(nx))")
+    else:
+        out["vs_baseline"] = None
     print(json.dumps(out))
 
 

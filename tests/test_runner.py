@@ -277,3 +277,77 @@ def test_runner_sharded_matches_single(tmp_path):
     a = read_field(tmp_path / "a" / "vort_step_5.bin", cfg.grid_shape)
     b = read_field(tmp_path / "b" / "vort_step_5.bin", cfg.grid_shape)
     np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * np.abs(a).max())
+
+
+class TestDebugFields:
+    def test_debug_dumps_barotropic(self, tmp_path):
+        """--debug-fields writes the OUTPUT_GRAD_VORT/OUTPUT_DVORTDT dumps
+        (main.cpp:156-176, 216-222): physical zeta gradients and the
+        advective tendency BEFORE forward transform + viscosity."""
+        import jax.numpy as jnp
+        from xlab_fftbarotropic_tpu.ops import fft, spectral as sp
+
+        cfg = make_cfg(tmp_path)
+        vort0 = makefields.gaussian(cfg)
+        run(cfg, vort0, manifest_path=str(tmp_path / "log"),
+            debug_fields=True)
+        out = tmp_path / "output"
+        for step in (0, 5):
+            for name in ("dvortdx", "dvortdy", "dvortdt"):
+                assert (out / f"{name}_step_{step}.bin").exists(), (name,
+                                                                    step)
+        # step-0 semantics: dvortdx = irfft2(i kx zeta_hat) of the IC, and
+        # dvortdt = -u*zeta_x - v*zeta_y (zero source)
+        t = sp.SpectralTables.from_config(cfg)
+        zh = fft.forward(jnp.asarray(vort0))
+        g = cfg.grid_shape
+        dvdx = np.asarray(fft.inverse(sp.gradx(t, zh), g))
+        dvdy = np.asarray(fft.inverse(sp.grady(t, zh), g))
+        psi_hat = sp.invert_laplacian(t, zh)
+        u = -np.asarray(fft.inverse(sp.grady(t, psi_hat), g))
+        v = np.asarray(fft.inverse(sp.gradx(t, psi_hat), g))
+        np.testing.assert_allclose(
+            read_field(out / "dvortdx_step_0.bin", g), dvdx, atol=1e-12)
+        np.testing.assert_allclose(
+            read_field(out / "dvortdt_step_0.bin", g),
+            -u * dvdx - v * dvdy, atol=1e-12)
+        # the manifest lists the debug paths (reference appends them to
+        # log, main.cpp:158-161)
+        log = (tmp_path / "log").read_text()
+        assert "dvortdt_step_0.bin" in log
+
+    def test_debug_dumps_shallow_water(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        vort0 = makefields.gaussian(cfg)
+        run(cfg, vort0, model_kind="sw",
+            manifest_path=str(tmp_path / "log"), debug_fields=True)
+        out = tmp_path / "output"
+        for name in ("dvortdx", "dvortdy", "dvortdt"):
+            assert (out / f"{name}_step_0.bin").exists(), name
+        dv = read_field(out / "dvortdt_step_0.bin", cfg.grid_shape)
+        assert np.isfinite(dv).all()
+
+    def test_debug_rejected_for_fd(self, tmp_path):
+        import pytest as _pytest
+        cfg = make_cfg(tmp_path)
+        vort0 = makefields.gaussian(cfg)
+        with _pytest.raises(ValueError, match="debug-fields"):
+            run(cfg, vort0, model_kind="fd",
+                manifest_path=str(tmp_path / "log"), debug_fields=True)
+
+
+def test_blowup_still_closes_manifest(tmp_path):
+    """ADVICE r1: a BlowUpError mid-run must still close the manifest and
+    the source reader (try/finally path)."""
+    import pytest as _pytest
+    from xlab_fftbarotropic_tpu import runner
+    from xlab_fftbarotropic_tpu.utils.guards import BlowUpError
+    cfg = ModelConfig(nx=32, ny=32, dt=1e6, nu=0.0, total_steps=40,
+                      record_step=10, output_dir=str(tmp_path / "out"))
+    vort0 = makefields.kuo2004(cfg)
+    with _pytest.raises(BlowUpError):
+        runner.run(cfg, vort0=vort0, manifest_path=str(tmp_path / "log"))
+    # manifest closed => contents flushed to disk
+    assert (tmp_path / "log").exists()
+    text = (tmp_path / "log").read_text()
+    assert "vort_step_0.bin" in text

@@ -34,6 +34,10 @@ def main(argv=None):
                    help="checkpoint .npz to resume from")
     p.add_argument("--no-record", action="store_true",
                    help="skip field records (benchmarking)")
+    p.add_argument("--debug-fields", action="store_true",
+                   help="also dump dvortdx/dvortdy/dvortdt at record steps "
+                        "(the reference's OUTPUT_GRAD_VORT/OUTPUT_DVORTDT "
+                        "#ifdef dumps, main.cpp:156-176,216-235)")
     p.add_argument("--manifest", default="log",
                    help="manifest path (the reference's `log` file)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -82,7 +86,8 @@ def main(argv=None):
                  record=not args.no_record, manifest_path=args.manifest,
                  progress=True, resume_from=args.resume_from,
                  model_kind=args.model, shard=args.shard,
-                 shard_fft=args.shard_fft)
+                 shard_fft=args.shard_fft,
+                 debug_fields=args.debug_fields)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

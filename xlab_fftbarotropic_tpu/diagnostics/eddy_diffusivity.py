@@ -49,16 +49,28 @@ class EffectiveDiffusivity(NamedTuple):
     area: jax.Array          # (nbins,) A(Q) = area with q >= Q   [m^2]
     equiv_length2: jax.Array # (nbins,) L_e^2(Q)                  [m^2]
     min_length2: jax.Array   # (nbins,) L_min^2 = 4*pi*A          [m^2]
-    kappa_ratio: jax.Array   # (nbins,) kappa_eff / kappa = Le^2/Lmin^2
+    kappa_ratio: jax.Array   # (nbins,) max(Le^2/Lmin^2, 1) — clipped
+    kappa_ratio_raw: jax.Array  # (nbins,) unclipped Le^2/Lmin^2; values
+    #                             below 1 flag under-resolved bins
 
 
 def effective_diffusivity(t: SpectralTables, q: jax.Array, dx: float,
                           dy: float, nbins: int = 64) -> EffectiveDiffusivity:
     """Nakamura effective-diffusivity profile of tracer field q (nx, ny).
 
-    Returns per-level diagnostics; kappa_ratio is clipped below at 1
-    (L_e >= L_min by the isoperimetric inequality; discretization noise can
-    dip under it near empty bins).
+    Returns per-level diagnostics. L_e >= L_min holds exactly in the
+    continuum (isoperimetric inequality); discretization noise can dip the
+    ratio under 1 near empty bins, so `kappa_ratio` is clipped below at 1
+    for downstream consumers while `kappa_ratio_raw` keeps the unclipped
+    value — a ratio well below 1 means the bin is under-resolved and the
+    profile should not be trusted there (VERDICT r1: clipping alone can
+    mask under-resolution).
+
+    Analytic pins (tests/test_postproc.py): a radially symmetric tracer
+    has circular contours, so L_e = L_min and the ratio is exactly 1; a
+    stripe tracer cos(2*pi*(a*x/lx + b*y/ly)) has straight-line contours
+    of total length 2*hypot(a*ly, b*lx), so L_e^2 = 4*(a^2*ly^2 + b^2*lx^2)
+    at every interior level.
     """
     q = jnp.asarray(q, jnp.float32)
     cell = dx * dy
@@ -80,21 +92,32 @@ def effective_diffusivity(t: SpectralTables, q: jax.Array, dx: float,
     g2sum = jnp.zeros(nbins, jnp.float32).at[ib.reshape(-1)].add(
         grad2.reshape(-1))
 
-    # A(Q): area with q >= Q — reverse cumulative sums (high bins first)
-    area = jnp.cumsum(count[::-1])[::-1] * cell
-    g2int = jnp.cumsum(g2sum[::-1])[::-1] * cell
+    # A(Q): area with q >= Q — reverse cumulative sums (high bins first).
+    # A[i] counts bins i..nbins-1, i.e. A at the LOWER EDGE of bin i;
+    # evaluated at the bin-center level Q[i] the half-bin offset is the
+    # i-1/i average, consistent with the centered differences below.
+    area_edge = jnp.cumsum(count[::-1])[::-1] * cell
+    g2int_edge = jnp.cumsum(g2sum[::-1])[::-1] * cell
+    shift = lambda a: jnp.concatenate([a[1:], jnp.zeros((1,), a.dtype)])
+    area = 0.5 * (area_edge + shift(area_edge))
+    g2int = 0.5 * (g2int_edge + shift(g2int_edge))
 
     dQ = span / nbins
-    # dA/dQ < 0 (area shrinks with level); centered one-bin differences
-    dA_dQ = -count * cell / dQ
-    dG_dQ = -g2sum * cell / dQ
+    # CENTERED differences of the cumulative functions at bin centers:
+    # dA/dQ|_i = (A_edge[i+1] - A_edge[i]) / dQ is exactly the centered
+    # two-point difference of the bin-center A about level Q[i]
+    # (A_edge[i] is A half a bin below Q[i], A_edge[i+1] half a bin above)
+    dA_dQ = (shift(area_edge) - area_edge) / dQ        # = -count*cell/dQ
+    dG_dQ = (shift(g2int_edge) - g2int_edge) / dQ
     # <|grad q|^2>_Q = dG/dA = dG_dQ / dA_dQ
     safe = jnp.abs(dA_dQ) > 0
     mean_grad2 = jnp.where(safe, dG_dQ / jnp.where(safe, dA_dQ, 1.0), 0.0)
     # L_e^2 = <|grad q|^2>_Q * (dA/dQ)^2
     le2 = mean_grad2 * dA_dQ * dA_dQ
     lmin2 = 4.0 * jnp.pi * area
-    ratio = jnp.where((le2 > 0) & (lmin2 > 0),
-                      jnp.maximum(le2 / jnp.maximum(lmin2, 1e-30), 1.0), 1.0)
+    raw = jnp.where((le2 > 0) & (lmin2 > 0),
+                    le2 / jnp.maximum(lmin2, 1e-30), 1.0)
     return EffectiveDiffusivity(levels=levels, area=area, equiv_length2=le2,
-                                min_length2=lmin2, kappa_ratio=ratio)
+                                min_length2=lmin2,
+                                kappa_ratio=jnp.maximum(raw, 1.0),
+                                kappa_ratio_raw=raw)

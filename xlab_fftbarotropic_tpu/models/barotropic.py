@@ -48,9 +48,14 @@ PLANE_STEPPER = True
 PLANE_STEPPER_MAX = 4096
 
 
+def _plane_stepper_max() -> int:
+    import os
+    return int(os.environ.get("XFB_PLANE_STEPPER_MAX", PLANE_STEPPER_MAX))
+
+
 def use_plane_stepper(grid_shape) -> bool:
     return (PLANE_STEPPER
-            and max(grid_shape) <= PLANE_STEPPER_MAX)
+            and max(grid_shape) <= _plane_stepper_max())
 
 
 def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
@@ -64,12 +69,18 @@ def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
     """
     if name != "auto":
         return name
+    import os
     nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-    # upper cap: at 8192^2 BOTH pallas pipelines OOM-SIGKILL the remote
-    # AOT compile helper (verified 2026-08-17, per-transform and planes)
-    # — an environment memory limit, not a kernel property. Explicit
-    # --fft-backend pallas stays available for hosts with more RAM.
-    pallas_ok = (nx == ny and nx == 4096 and nx & (nx - 1) == 0)
+    # Range gate, not equality: pallas wins from 4096 up (measured 1.73x
+    # there; XLA still wins at <= 2048), capped by the COMPILE-memory
+    # budget — at 8192^2 BOTH pallas pipelines OOM-SIGKILL the remote AOT
+    # compile helper (verified 2026-08-17), an environment host-RAM limit,
+    # not a kernel property. Hosts with more compile RAM can raise the cap
+    # via XFB_PALLAS_MAX (and lower the floor via XFB_PALLAS_MIN);
+    # explicit --fft-backend pallas always bypasses the gate.
+    lo = int(os.environ.get("XFB_PALLAS_MIN", 4096))
+    hi = int(os.environ.get("XFB_PALLAS_MAX", 4096))
+    pallas_ok = (nx == ny and lo <= nx <= hi and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
         return "pallas"
     return "xla"
@@ -230,6 +241,31 @@ def diag_fields(t: SpectralTables, zeta_hat: jax.Array,
     )
 
 
+class DebugFields(NamedTuple):
+    """The reference's debug-output-as-test dumps (SURVEY.md §4): the
+    OUTPUT_GRAD_VORT / OUTPUT_DVORTDT #ifdef blocks of main.cpp:156-162,
+    170-176 and 216-222 write, at each record step from the FIRST RK
+    stage's RHS evaluation, the physical zeta gradients and the advective
+    tendency -u*zeta_x - v*zeta_y + S as it stands BEFORE the forward
+    transform and the spectral viscosity add."""
+    dvortdx: jax.Array
+    dvortdy: jax.Array
+    dvortdt: jax.Array
+
+
+def debug_fields(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
+                 grid_shape: Tuple[int, int],
+                 inv: Callable = fft.inverse) -> DebugFields:
+    """Step-start debug intermediates (main.cpp:156-176, 216-222)."""
+    dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
+    dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
+    psi_hat = sp.invert_laplacian(t, zeta_hat)
+    u = -inv(sp.grady(t, psi_hat), grid_shape)
+    v = inv(sp.gradx(t, psi_hat), grid_shape)
+    return DebugFields(dvortdx=dvdx, dvortdy=dvdy,
+                       dvortdt=-u * dvdx - v * dvdy + src)
+
+
 class StepStats(NamedTuple):
     """Cheap per-step scalars (new capability; SURVEY.md §6 observability)."""
     max_abs_vort: jax.Array
@@ -271,6 +307,7 @@ class BarotropicModel:
     segment: Callable
     diags: Callable
     stats: Callable
+    debug: Optional[Callable] = None   # zeta_hat, src -> DebugFields
 
     @classmethod
     def build(cls, cfg: ModelConfig,
@@ -329,6 +366,10 @@ class BarotropicModel:
         def stats_(t, zeta_hat):
             return step_stats(t, zeta_hat, cfg)
 
+        @jax.jit
+        def debug_(t, zeta_hat, src):
+            return debug_fields(t, zeta_hat, src, g)
+
         def segment(zeta_hat, src, n_steps: int):
             return segment_(t, zeta_hat, src, n_steps)
 
@@ -336,7 +377,8 @@ class BarotropicModel:
                    step=functools.partial(step_, t),
                    segment=segment,
                    diags=functools.partial(diags_, t),
-                   stats=functools.partial(stats_, t))
+                   stats=functools.partial(stats_, t),
+                   debug=functools.partial(debug_, t))
 
     def init_state(self, vort0) -> jax.Array:
         """Physical initial vorticity -> spectral state (main.cpp:256)."""

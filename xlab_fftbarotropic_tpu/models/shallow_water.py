@@ -195,6 +195,7 @@ class ShallowWaterModel:
     segment: Callable
     diags: Callable
     stats: Callable
+    debug: Optional[Callable] = None   # state, src -> DebugFields
 
     @classmethod
     def build(cls, cfg: ModelConfig,
@@ -268,6 +269,21 @@ class ShallowWaterModel:
                 * dt,
             )
 
+        @jax.jit
+        def debug_(t, s: SWState, src):
+            # reference debug-dump analogue (main.cpp:156-176, 216-222):
+            # physical zeta gradients at step start; dvortdt is this
+            # model's FULL vorticity tendency (flux form + viscosity +
+            # source) inverse-transformed — the SW equations have no
+            # bare-advection stage to dump, so the tendency itself is the
+            # honest counterpart (documented deviation).
+            from .barotropic import DebugFields
+            dvdx = fft.inverse(sp.gradx(t, s.zeta_hat), g_shape)
+            dvdy = fft.inverse(sp.grady(t, s.zeta_hat), g_shape)
+            dz = tendency(t, s, src, f, grav, nu, H, g_shape).zeta_hat
+            return DebugFields(dvortdx=dvdx, dvortdy=dvdy,
+                               dvortdt=fft.inverse(dz, g_shape))
+
         def segment(s, src, n_steps: int):
             return segment_(t, s, src, n_steps)
 
@@ -275,7 +291,8 @@ class ShallowWaterModel:
                    step=functools.partial(step_, t),
                    segment=segment,
                    diags=functools.partial(diags_, t),
-                   stats=functools.partial(stats_, t))
+                   stats=functools.partial(stats_, t),
+                   debug=functools.partial(debug_, t))
 
     # ----- state construction -----
     def init_state(self, vort0, div0=None, h0=None) -> SWState:

@@ -37,8 +37,13 @@ def initialize(coordinator: Optional[str] = None,
     a second call on an initialized runtime is a no-op."""
     import jax
 
-    if jax.process_count() > 1:
-        return True
+    # Idempotency must be checked WITHOUT touching the XLA backend:
+    # jax.process_count() initializes the backend, after which
+    # jax.distributed.initialize() refuses to run ("must be called before
+    # any JAX calls") — caught by tests/test_multihost.py's real
+    # two-process smoke.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
 
     env = os.environ
     coordinator = (coordinator or env.get("XFB_COORDINATOR")
@@ -51,6 +56,13 @@ def initialize(coordinator: Optional[str] = None,
         else None)
 
     if coordinator and nproc:
+        if pid is None:
+            raise RuntimeError(
+                "multihost: XFB_COORDINATOR/XFB_NUM_PROCESSES are set but "
+                "the process rank is missing — set XFB_PROCESS_ID (or "
+                "JAX_PROCESS_ID) to this process's rank in [0, "
+                f"{nproc}). Outside TPU-metadata environments the rank "
+                "cannot be auto-discovered.")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=nproc,
                                    process_id=pid)
@@ -67,3 +79,23 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def gather_to_host(x):
+    """Materialize an array on this host as numpy, even when it is a
+    global sharded array whose shards live on other processes.
+
+    Single-process (and any fully-addressable array): plain np.asarray,
+    zero overhead. Multi-process: an allgather collective — EVERY process
+    must call this on the same array in the same order, so callers
+    (runner adapters) invoke it unconditionally and gate only the file
+    writes on is_primary()."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -31,6 +31,8 @@ from .forcing.source import SourceReader, make_reader
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.fieldio import FieldRecorder, Manifest, read_field
 from .models.barotropic import BarotropicModel
+from .parallel.multihost import gather_to_host as _np
+from .parallel.multihost import is_primary
 
 
 @dataclasses.dataclass
@@ -62,8 +64,18 @@ class _BarotropicAdapter:
 
     def record_fields(self, state):
         d = self.model.diags(state)
-        return dict(vort=np.asarray(d.vort), psi=np.asarray(d.psi),
-                    u=np.asarray(d.u), v=np.asarray(d.v))
+        return dict(vort=_np(d.vort), psi=_np(d.psi),
+                    u=_np(d.u), v=_np(d.v))
+
+    def debug_record_fields(self, state, src):
+        """--debug-fields dumps (main.cpp OUTPUT_GRAD_VORT/OUTPUT_DVORTDT)."""
+        if getattr(self.model, "debug", None) is None:
+            raise ValueError(
+                "--debug-fields is not supported by this model build "
+                f"({type(self.model).__name__} has no debug diagnostics)")
+        d = self.model.debug(state, src)
+        return dict(dvortdx=_np(d.dvortdx), dvortdy=_np(d.dvortdy),
+                    dvortdt=_np(d.dvortdt))
 
     def stats(self, state):
         if not hasattr(self.model, "stats"):   # sharded models: skip
@@ -74,7 +86,7 @@ class _BarotropicAdapter:
                     enstrophy=float(s.enstrophy), cfl=float(s.cfl))
 
     def pack(self, state):
-        return np.asarray(state)
+        return _np(state)
 
     def unpack(self, packed):
         if hasattr(self.model, "shard_spectral"):
@@ -103,9 +115,19 @@ class _ShallowWaterAdapter:
 
     def record_fields(self, state):
         d = self.model.diags(state)
-        return dict(vort=np.asarray(d.vort), psi=np.asarray(d.psi),
-                    u=np.asarray(d.u), v=np.asarray(d.v),
-                    div=np.asarray(d.div), h=np.asarray(d.h))
+        return dict(vort=_np(d.vort), psi=_np(d.psi),
+                    u=_np(d.u), v=_np(d.v),
+                    div=_np(d.div), h=_np(d.h))
+
+    def debug_record_fields(self, state, src):
+        """--debug-fields dumps (main.cpp OUTPUT_GRAD_VORT/OUTPUT_DVORTDT)."""
+        if getattr(self.model, "debug", None) is None:
+            raise ValueError(
+                "--debug-fields is not supported by this model build "
+                f"({type(self.model).__name__} has no debug diagnostics)")
+        d = self.model.debug(state, src)
+        return dict(dvortdx=_np(d.dvortdx), dvortdy=_np(d.dvortdy),
+                    dvortdt=_np(d.dvortdt))
 
     def stats(self, state):
         if not hasattr(self.model, "stats"):   # sharded models: skip
@@ -116,7 +138,7 @@ class _ShallowWaterAdapter:
                     max_abs_div=float(s.max_abs_div), cfl=float(s.cfl))
 
     def pack(self, state):
-        return np.stack([np.asarray(a) for a in state])
+        return np.stack([_np(a) for a in state])
 
     def unpack(self, packed):
         from .models.shallow_water import SWState
@@ -152,16 +174,16 @@ class _FDAdapter:
         z, _ = state
         psi = poisson_fft(z, self.cfg.dx, self.cfg.dy)
         u, v = gradients(psi, self.cfg.dx, self.cfg.dy)
-        return dict(vort=np.asarray(z), psi=np.asarray(psi),
-                    u=np.asarray(u), v=np.asarray(v))
+        return dict(vort=_np(z), psi=_np(psi),
+                    u=_np(u), v=_np(v))
 
     def stats(self, state):
-        z = np.asarray(state[0])
+        z = _np(state[0])
         return dict(max_abs_vort=float(np.abs(z).max()),
                     enstrophy=float(0.5 * np.mean(z * z)))
 
     def pack(self, state):
-        return np.stack([np.asarray(a) for a in state])
+        return np.stack([_np(a) for a in state])
 
     def unpack(self, packed):
         return (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
@@ -205,16 +227,31 @@ def run(cfg: ModelConfig,
         shard: bool = False,
         shard_fft: str = "xla",
         collect_stats: bool = True,
-        check_finite: bool = True) -> RunResult:
+        check_finite: bool = True,
+        debug_fields: bool = False) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
     cfg.input_dir/cfg.init_file exactly like main.cpp:143-144.
     model_kind: 'barotropic' (default) or 'shallow-water' — the SW family
     starts from geostrophically balanced height/zero divergence.
+    debug_fields: also dump dvortdx/dvortdy/dvortdt at record steps — the
+    reference's OUTPUT_GRAD_VORT / OUTPUT_DVORTDT debug-output-as-test
+    mechanism (main.cpp:156-176, 216-235), off by default like its #ifdefs.
+
+    Multi-process discipline: field gathers (adapter.record_fields/pack via
+    multihost.gather_to_host) are collectives run on EVERY process; the file
+    writes — records, manifest, checkpoints — happen only on the primary
+    rank (multihost.is_primary). Per-step banner note: the reference prints
+    "# Step %d" EVERY step (main.cpp:262-264); here steps between record
+    points run inside one jitted scan with no host round-trip, so the
+    banner appears at record boundaries only (deliberate deviation).
     """
     adapter = make_adapter(cfg, model_kind, model, shard=shard,
                            shard_fft=shard_fft)
+    if debug_fields and not hasattr(adapter, "debug_record_fields"):
+        raise ValueError(
+            f"--debug-fields is not supported for model kind {model_kind!r}")
 
     start_step = 0
     if resume_from is not None:
@@ -231,70 +268,91 @@ def run(cfg: ModelConfig,
     src = jnp.asarray(src_np)
     reader: SourceReader = make_reader(cfg, recipe, src_path)
 
-    manifest = Manifest(manifest_path) if record else None
-    recorder = FieldRecorder(cfg.output_dir, manifest) if record else None
+    # Host-side file I/O belongs to rank 0 alone (ADVICE r1: multi-process
+    # runs must not race on the same record/manifest/checkpoint paths). The
+    # GATHERS still run on every process — they are collectives.
+    primary = is_primary()
+    manifest = Manifest(manifest_path) if (record and primary) else None
+    recorder = (FieldRecorder(cfg.output_dir, manifest)
+                if (record and primary) else None)
 
     stats_history = []
     t0 = _time.perf_counter()
     step = start_step
 
-    def do_record(step, state, src_np):
-        fields = adapter.record_fields(state)
+    def do_record(step, state, src_np, src):
+        fields = adapter.record_fields(state)      # collective gather
         if check_finite:
             from .utils.guards import check_finite as _cf
             _cf(step, **fields)
-        recorder.record(step, vort_src=src_np, **fields)
+        dbg = (adapter.debug_record_fields(state, src)
+               if debug_fields else {})            # collective gather
+        if recorder is not None:
+            recorder.record(step, vort_src=src_np, **fields)
+            if dbg:
+                recorder.record(step, **dbg)
 
     def note_stats(step, state):
         if collect_stats:
             stats_history.append(dict(step=step, **adapter.stats(state)))
 
     per_step = recipe == "fifo"
-    while step < cfg.total_steps:
-        if record and step % cfg.record_step == 0:
-            do_record(step, state, src_np)
-            note_stats(step, state)
-            if progress:
-                print(f"# Step {step}, time = {step * cfg.dt:.2f}, "
-                      f"record now!", file=sys.stderr)
-        if cfg.checkpoint_step and step % cfg.checkpoint_step == 0 and \
-                step > start_step:
-            save_checkpoint(Path(cfg.output_dir) / f"ckpt_step_{step}.npz",
-                            cfg, adapter.pack(state), step,
-                            kind=adapter.kind)
+    try:
+        while step < cfg.total_steps:
+            if record and step % cfg.record_step == 0:
+                do_record(step, state, src_np, src)
+                note_stats(step, state)
+                if progress and primary:
+                    print(f"# Step {step}, time = {step * cfg.dt:.2f}, "
+                          f"record now!", file=sys.stderr)
+            if cfg.checkpoint_step and step % cfg.checkpoint_step == 0 and \
+                    step > start_step:
+                packed = adapter.pack(state)       # collective gather
+                if primary:
+                    save_checkpoint(
+                        Path(cfg.output_dir) / f"ckpt_step_{step}.npz",
+                        cfg, packed, step, kind=adapter.kind)
 
-        if per_step:
-            # main-shallow-water.cpp:304 — source read precedes the step.
-            changed, field = reader.read(step * cfg.dt)
-            if changed:
-                src_np = np.asarray(field, dtype=np.float32)
-                src = jnp.asarray(src_np)
-            state = adapter.step(state, src)
-            step += 1
-        else:
-            # run to the next record/checkpoint/recipe boundary in one scan
-            boundaries = [cfg.total_steps,
-                          ((step // cfg.record_step) + 1) * cfg.record_step]
-            if cfg.checkpoint_step:
-                boundaries.append(
-                    ((step // cfg.checkpoint_step) + 1) * cfg.checkpoint_step)
-            if recipe == "script":
+            if per_step:
+                # main-shallow-water.cpp:304 — source read precedes the
+                # step.
                 changed, field = reader.read(step * cfg.dt)
                 if changed:
                     src_np = np.asarray(field, dtype=np.float32)
                     src = jnp.asarray(src_np)
-                nxt = _next_recipe_step(reader, cfg, step)
-                if nxt is not None:
-                    boundaries.append(nxt)
-            n = max(1, min(boundaries) - step)
-            state = adapter.segment(state, src, n)
-            step += n
+                state = adapter.step(state, src)
+                step += 1
+            else:
+                # run to the next record/checkpoint/recipe boundary in one
+                # scan
+                boundaries = [
+                    cfg.total_steps,
+                    ((step // cfg.record_step) + 1) * cfg.record_step]
+                if cfg.checkpoint_step:
+                    boundaries.append(
+                        ((step // cfg.checkpoint_step) + 1)
+                        * cfg.checkpoint_step)
+                if recipe == "script":
+                    changed, field = reader.read(step * cfg.dt)
+                    if changed:
+                        src_np = np.asarray(field, dtype=np.float32)
+                        src = jnp.asarray(src_np)
+                    nxt = _next_recipe_step(reader, cfg, step)
+                    if nxt is not None:
+                        boundaries.append(nxt)
+                n = max(1, min(boundaries) - step)
+                state = adapter.segment(state, src, n)
+                step += n
 
-    jax.block_until_ready(state)
+        jax.block_until_ready(state)
+    finally:
+        # BlowUpError (and any mid-run failure) must not leak the native
+        # FIFO prefetch thread/pipe fd or leave the manifest unflushed
+        # (ADVICE r1).
+        if manifest is not None:
+            manifest.close()
+        reader.close()
     wall = _time.perf_counter() - t0
-    if manifest is not None:
-        manifest.close()
-    reader.close()
     return RunResult(zeta_hat=state, steps_run=step - start_step,
                      wall_time=wall, stats_history=stats_history)
 
