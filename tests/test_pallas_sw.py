@@ -1,0 +1,201 @@
+"""Fused Pallas SW plane-state pipeline (ops/pallas_sw.py) vs the XLA
+shallow-water core, in interpret mode (CPU). The grid-over-fields
+inverse pipeline, the grid-over-products forward pipeline, the COMBINE
+tendency kernel, and the plane RK4 arithmetic must reproduce the
+rk4_step trajectory (models/shallow_water.py) to float32 round-off —
+the same differential gate the barotropic plane stepper passes
+(tests/test_pallas_fft.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xlab_fftbarotropic_tpu.config import ModelConfig
+from xlab_fftbarotropic_tpu.models import shallow_water as sw
+from xlab_fftbarotropic_tpu.ops import fft
+from xlab_fftbarotropic_tpu.ops import pallas_sw as psw
+from xlab_fftbarotropic_tpu.ops import spectral as sp
+from xlab_fftbarotropic_tpu.ops.spectral import SpectralTables
+
+
+def _rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+
+
+N = 128
+
+
+def _cfg(**kw):
+    kw.setdefault("nx", N)
+    kw.setdefault("ny", N)
+    kw.setdefault("dt", 1.0)
+    kw.setdefault("fft_backend", "pallas")
+    return ModelConfig(**kw)
+
+
+def _random_state(t, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    g = cfg.grid_shape
+
+    def f32(amp):
+        return (amp * rng.standard_normal(g)).astype(np.float32)
+
+    z = fft.forward(jnp.asarray(f32(1e-4)))
+    d = fft.forward(jnp.asarray(f32(1e-6)))
+    e = fft.forward(jnp.asarray(f32(5.0)))
+    return sw.SWState(zeta_hat=z, div_hat=d, eta_hat=e)
+
+
+def test_inverse_quad_planes_matches_xla():
+    """With the pairing equalizer, ALL four fields must come back at
+    float32 round-off even though zeta (1e-4) and eta (5.0) share one
+    paired c2r transform — unequalized, zeta's error is ~8e-3 relative
+    (cross-talk ~eps*|eta|, the scale-mismatch leak this guards)."""
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg)
+    g = cfg.grid_shape
+    planes = sw._state_to_planes(s)
+    es = psw.eta_pair_scale(planes)
+    assert float(es) > 0 and np.log2(float(es)) == round(np.log2(float(es)))
+
+    u, v, zeta, eta_s = psw.inverse_quad_planes(
+        *planes, t.kx, t.ky, t.rlap, g, eta_scale=es)
+    eta = eta_s / es
+
+    u_hat, v_hat = sw.sw_velocities(t, s.zeta_hat, s.div_hat)
+    assert _rel(fft.inverse(u_hat, g), u) < 3e-6
+    assert _rel(fft.inverse(v_hat, g), v) < 3e-6
+    assert _rel(fft.inverse(s.zeta_hat, g), zeta) < 3e-6
+    assert _rel(fft.inverse(s.eta_hat, g), eta) < 3e-6
+
+
+def test_forward_tendencies_match_composition():
+    """forward_tendencies == dealias(spectral SW RHS) computed with
+    jnp.fft FROM THE SAME physical inputs — verifies the forward pipeline
+    (KA_FWD products + KC_SW + COMBINE) in isolation, the same gate the
+    barotropic forward_tendency passes."""
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg, seed=1)
+    g = cfg.grid_shape
+    f0, grav, nu, H = float(cfg.f), float(cfg.gravity), float(cfg.nu), \
+        float(cfg.mean_depth)
+    rng = np.random.default_rng(7)
+    src = jnp.asarray((1e-9 * rng.standard_normal(g)).astype(np.float32))
+
+    planes = sw._state_to_planes(s)
+    es = psw.eta_pair_scale(planes)
+    u, v, zeta, eta_s = psw.inverse_quad_planes(*planes, t.kx, t.ky,
+                                                t.rlap, g, eta_scale=es)
+    sp_pl = psw.forward_planes(src)
+    got = sw._planes_to_state(psw.forward_tendencies(
+        u, v, zeta, eta_s, planes, sp_pl, t.kx, t.ky, t.lap, t.mask,
+        f0, grav, nu, H, g, eta_scale=es))
+
+    # reference from the SAME u, v, zeta, eta
+    eta = eta_s / es
+    q = zeta + f0
+    qu, qv = fft.forward(q * u), fft.forward(q * v)
+    eu, ev = fft.forward(eta * u), fft.forward(eta * v)
+    phi = fft.forward(grav * eta + 0.5 * (u * u + v * v))
+    dz = -(sp.gradx(t, qu) + sp.grady(t, qv)) \
+        + nu * sp.laplacian(t, s.zeta_hat) + fft.forward(src)
+    dd = (sp.gradx(t, qv) - sp.grady(t, qu)) - sp.laplacian(t, phi) \
+        + nu * sp.laplacian(t, s.div_hat)
+    de = -(sp.gradx(t, eu) + sp.grady(t, ev)) - H * s.div_hat
+    ref = sw._dealias_state(t, sw.SWState(dz, dd, de))
+    for name, a, b in (("zeta", ref.zeta_hat, got.zeta_hat),
+                      ("div", ref.div_hat, got.div_hat),
+                      ("eta", ref.eta_hat, got.eta_hat)):
+        assert _rel(a, b) < 2e-5, name
+
+
+def _phys(s, g):
+    return (np.asarray(fft.inverse(s.zeta_hat, g)),
+            np.asarray(fft.inverse(s.div_hat, g)),
+            np.asarray(fft.inverse(s.eta_hat, g)))
+
+
+def _assert_close_phys(sa, sb, g, tol):
+    """div is normalized by max(|div|, |zeta|): in balanced flow div is
+    the small residual of cancelling large terms (curl(q u) vs lap(Phi)),
+    so its float32 round-off floor is set by the zeta-scale dynamics, not
+    by |div| itself — normalizing a near-zero residual by its own max
+    would demand accuracy float32 cannot represent."""
+    az, ad, ae = _phys(sa, g)
+    bz, bd, be = _phys(sb, g)
+    nz = np.max(np.abs(az))
+    for name, a, b, norm in (("zeta", az, bz, nz),
+                             ("div", ad, bd, max(np.max(np.abs(ad)), nz)),
+                             ("eta", ae, be, np.max(np.abs(ae)))):
+        assert np.max(np.abs(a - b)) < tol * max(norm, 1e-12), name
+
+
+def test_rk4_step_planes_matches_rk4_step():
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg, seed=2)
+    g = cfg.grid_shape
+    f0, grav, nu, H = float(cfg.f), float(cfg.gravity), float(cfg.nu), \
+        float(cfg.mean_depth)
+    dt = float(cfg.dt)
+    src = jnp.zeros(g, jnp.float32)
+
+    out = sw._planes_to_state(sw.rk4_step_planes(
+        t, sw._state_to_planes(s), psw.forward_planes(src),
+        dt, f0, grav, nu, H, g))
+    ref = sw.rk4_step(t, s, src, dt, f0, grav, nu, H, g)
+    _assert_close_phys(ref, out, g, 1e-5)
+
+
+def test_model_segment_trajectory_pin():
+    """20 scanned steps through the pallas-backed SW model must track the
+    XLA model in PHYSICAL space — the same whole-trajectory gate the
+    barotropic plane stepper passes. A balanced vortex IC exercises all
+    three equations (advection, gravity-wave pressure terms, mass
+    flux)."""
+    from xlab_fftbarotropic_tpu.ic import makefields
+
+    cfg_p = _cfg()
+    cfg_x = _cfg(fft_backend="xla")
+    vort = makefields.gaussian(cfg_p)
+    m_p = sw.ShallowWaterModel.build(cfg_p)
+    m_x = sw.ShallowWaterModel.build(cfg_x)
+    s_p = m_p.geostrophic_init(vort)
+    s_x = m_x.geostrophic_init(vort)
+    src = m_p.zero_source()
+
+    out_p = m_p.segment(s_p, src, 20)
+    out_x = m_x.segment(s_x, src, 20)
+    # drift pin, not a round-off gate (those are the per-step and
+    # same-input tests above): two independent float32 pipelines diverge
+    # through the gravity-wave coupling — div round-off (~eps*|lap Phi|,
+    # measured 1.3e-8 abs) feeds eta at d(eta)/dt = -H*div, so
+    # delta_eta ~ H*dt*n*delta_div ~ 2.6e-4 at 20 steps; measured
+    # 1.44e-4 (5.8e-5 relative). 2e-4 leaves ~3x margin.
+    _assert_close_phys(out_x, out_p, cfg_p.grid_shape, 2e-4)
+
+
+def test_forced_step_matches_xla():
+    """The forcing spectrum path (COMBINE's has_src branch + the
+    per-segment forward_planes) against the XLA fwd(src) path."""
+    cfg_p = _cfg()
+    cfg_x = _cfg(fft_backend="xla")
+    t = SpectralTables.from_config(cfg_p)
+    s = _random_state(t, cfg_p, seed=3)
+    g = cfg_p.grid_shape
+    rng = np.random.default_rng(11)
+    src = jnp.asarray((1e-8 * rng.standard_normal(g)).astype(np.float32))
+
+    m_p = sw.ShallowWaterModel.build(cfg_p)
+    m_x = sw.ShallowWaterModel.build(cfg_x)
+    out_p = m_p.step(s, src)
+    out_x = m_x.step(s, src)
+    _assert_close_phys(out_x, out_p, g, 1e-5)
+
+    # and the source actually lands: differs from the unforced step
+    out_p0 = m_p.step(s, jnp.zeros(g, jnp.float32))
+    assert np.max(np.abs(np.asarray(out_p.zeta_hat - out_p0.zeta_hat))) > 0

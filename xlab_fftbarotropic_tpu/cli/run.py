@@ -50,6 +50,16 @@ def main(argv=None):
                         "XLA all_to_all transposes (default), explicit "
                         "Pallas DMA transposes, or the fused overlapped "
                         "transpose+DFT kernel")
+    p.add_argument("--decomp", default="slab",
+                   choices=["slab", "pencil"],
+                   help="domain decomposition for --shard runs: slab "
+                        "(rows over a 1-D mesh, default) or true 2-D "
+                        "pencil (tiles over a PxQ mesh — one inter-host "
+                        "collective per transform; see --mesh-shape)")
+    p.add_argument("--mesh-shape", default=None, metavar="PxQ",
+                   help="2-D mesh shape for --decomp pencil, e.g. 2x4 "
+                        "(default: n_processes x local_devices, or 1xN "
+                        "single-process)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -81,12 +91,23 @@ def main(argv=None):
     print(f"Steps                 : {cfg.total_steps}", file=sys.stderr)
     print("#########################", file=sys.stderr)
 
+    mesh_shape = None
+    if args.mesh_shape:
+        try:
+            mesh_shape = tuple(int(v) for v in
+                               args.mesh_shape.lower().split("x"))
+            assert len(mesh_shape) == 2
+        except (ValueError, AssertionError):
+            p.error(f"--mesh-shape must look like 2x4, got "
+                    f"{args.mesh_shape!r}")
+
     from ..runner import run
     result = run(cfg, recipe=recipe, src_path=src_path,
                  record=not args.no_record, manifest_path=args.manifest,
                  progress=True, resume_from=args.resume_from,
                  model_kind=args.model, shard=args.shard,
-                 shard_fft=args.shard_fft,
+                 shard_fft=args.shard_fft, decomp=args.decomp,
+                 mesh_shape=mesh_shape,
                  debug_fields=args.debug_fields)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids

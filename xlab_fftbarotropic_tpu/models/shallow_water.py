@@ -152,6 +152,52 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
     return _axpy(s, comb, dt / 6.0)
 
 
+def rk4_step_planes(t: SpectralTables, planes, src_planes,
+                    dt: float, f: float, g: float, nu: float,
+                    mean_depth: float, grid_shape: Tuple[int, int],
+                    eta_scale=None):
+    """RK4 on the SW spectral state as six float32 (re, im) PLANES
+    (zr, zi, dr, di, er, ei) — the fully fused Pallas path
+    (ops/pallas_sw.py): per stage one grid-over-fields inverse pipeline
+    (KA_SW + 2x stacked KB -> u, v, zeta, eta), one grid-over-products
+    forward pipeline (KA_FWD + KC_SW), and one COMBINE kernel emitting
+    the three dealiased tendencies; stage axpys and the RK4 tail are
+    Pallas elementwise kernels. No complex64 array exists inside the
+    scan. Same math as rk4_step (per-stage dealiased tendencies,
+    main.cpp:286-317); src_planes is the forcing SPECTRUM, fixed across
+    stages (main-shallow-water.cpp:304). eta_scale is the power-of-two
+    pairing equalizer (ops/pallas_sw.py:eta_pair_scale) — compute it once
+    per segment and pass it through the scan as a constant."""
+    from ..ops import pallas_sw as psw
+    if eta_scale is None:
+        eta_scale = psw.eta_pair_scale(planes)
+
+    def d(p):
+        u, v, zeta, eta_s = psw.inverse_quad_planes(
+            *p, t.kx, t.ky, t.rlap, grid_shape, eta_scale=eta_scale)
+        return psw.forward_tendencies(
+            u, v, zeta, eta_s, p, src_planes, t.kx, t.ky, t.lap, t.mask,
+            f, g, nu, mean_depth, grid_shape, eta_scale=eta_scale)
+
+    r1 = d(planes)
+    r2 = d(psw.plane_axpy(planes, r1, dt * 0.5))
+    r3 = d(psw.plane_axpy(planes, r2, dt * 0.5))
+    r4 = d(psw.plane_axpy(planes, r3, dt))
+    return psw.plane_rk4_combine(planes, r1, r2, r3, r4, dt / 6.0)
+
+
+def _state_to_planes(s: SWState):
+    return (jnp.real(s.zeta_hat), jnp.imag(s.zeta_hat),
+            jnp.real(s.div_hat), jnp.imag(s.div_hat),
+            jnp.real(s.eta_hat), jnp.imag(s.eta_hat))
+
+
+def _planes_to_state(p) -> SWState:
+    return SWState(zeta_hat=jax.lax.complex(p[0], p[1]),
+                   div_hat=jax.lax.complex(p[2], p[3]),
+                   eta_hat=jax.lax.complex(p[4], p[5]))
+
+
 def max_stable_dt(cfg) -> float:
     """RK4 gravity-wave stability bound: the fastest linear mode is the
     corner gravity wave omega_max = sqrt(g*H) * k_max with
@@ -219,27 +265,57 @@ class ShallowWaterModel:
                 "run will blow up; reduce dt (verified NaN at 4096^2 "
                 "with dt=3)", stacklevel=2)
 
-        from .barotropic import resolve_fft_backend
+        from .barotropic import (resolve_fft_backend,
+                                 resolve_fft_backend_name,
+                                 use_plane_stepper)
+        resolved = resolve_fft_backend_name(cfg.fft_backend, g_shape)
         fwd, inv, inv_pair, _quad = resolve_fft_backend(
-            cfg.fft_backend, g_shape)   # SW has its own transform mix;
+            resolved, g_shape)          # SW has its own transform mix;
         #                                 the barotropic quad is unused
 
         # Tables are jit ARGUMENTS bound via partial, not closure constants
         # (see models/barotropic.py note: avoids lowering-time device
         # fetches and executable bloat).
-        @jax.jit
-        def step_(t, s: SWState, src):
-            return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
-                            fwd=fwd, inv=inv, inv_pair=inv_pair)
+        if resolved == "pallas" and use_plane_stepper(g_shape):
+            # fully fused plane-state stepper (ops/pallas_sw.py): the SW
+            # counterpart of the barotropic rk4_step_planes path —
+            # complex <-> (re, im) conversion and the forcing forward
+            # transform happen once per jit call, never inside the scan.
+            from ..ops import pallas_sw as psw
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment_(t, s: SWState, src, n_steps: int):
-            def body(state, _):
-                return rk4_step(t, state, src, dt, f, grav, nu, H,
-                                g_shape, fwd=fwd, inv=inv,
-                                inv_pair=inv_pair), None
-            out, _ = jax.lax.scan(body, s, None, length=n_steps)
-            return out
+            @jax.jit
+            def step_(t, s: SWState, src):
+                sp_ = psw.forward_planes(src)
+                out = rk4_step_planes(t, _state_to_planes(s), sp_,
+                                      dt, f, grav, nu, H, g_shape)
+                return _planes_to_state(out)
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t, s: SWState, src, n_steps: int):
+                sp_ = psw.forward_planes(src)
+                p0 = _state_to_planes(s)
+                es = psw.eta_pair_scale(p0)   # once per segment
+
+                def body(p, _):
+                    return rk4_step_planes(t, p, sp_, dt, f, grav, nu,
+                                           H, g_shape,
+                                           eta_scale=es), None
+                p, _ = jax.lax.scan(body, p0, None, length=n_steps)
+                return _planes_to_state(p)
+        else:
+            @jax.jit
+            def step_(t, s: SWState, src):
+                return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
+                                fwd=fwd, inv=inv, inv_pair=inv_pair)
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t, s: SWState, src, n_steps: int):
+                def body(state, _):
+                    return rk4_step(t, state, src, dt, f, grav, nu, H,
+                                    g_shape, fwd=fwd, inv=inv,
+                                    inv_pair=inv_pair), None
+                out, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return out
 
         @jax.jit
         def diags_(t, s: SWState) -> SWDiagFields:

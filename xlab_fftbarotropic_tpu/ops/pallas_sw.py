@@ -1,0 +1,444 @@
+"""Fused Pallas plane-state pipeline for the shallow-water RK4 stage.
+
+Round-1 measured the SW model at 96.6 ms/step at 4096^2 (fused
+per-transform pipeline) vs the barotropic plane stepper's 44.0 ms — the
+whole gap is per-transform HBM round-trips and XLA elementwise passes in
+the 5-inverse + 5-forward stage structure (models/shallow_water.py:
+tendency; capability root /root/reference/src/main-shallow-water.cpp:
+146-244, which the reference only ever filled with barotropic dynamics).
+This module gives SW the same treatment the barotropic core got in
+ops/pallas_fft.py: every transform stage is one HBM read + one write,
+all diagonals/products/epilogues fused in VMEM, float32 (re, im) planes
+everywhere, and compile-friendly grid-over-fields bodies (ONE four-step
+transform per kernel body; the per-field diagonal is DATA — the KA4
+lesson from BASELINE.md).
+
+Per RK stage (vs 10 separate XLA transforms + ~10 elementwise passes):
+
+  KA_SW   grid (4, cols): x-stages of u_hat, v_hat, zeta_hat, eta_hat.
+          Each field is D1*Z + D2*Dv + c3*E with D = A(row) B(col) rlap^e
+          stacked factor DATA:
+            u = -i ky rlap Z + i kx rlap Dv      (u = -psi_y + chi_x)
+            v =  i kx rlap Z + i ky rlap Dv      (v =  psi_x + chi_y)
+            zeta = Z,   eta = E
+  KB x2   (pallas_fft._kb_call_stacked): paired c2r y-stages ->
+          physical u, v, zeta, eta.
+  KA_FWD  grid (5, cols): pointwise products + real-input forward
+          x-stage: qu, qv, eta*u, eta*v, Phi = g*eta + (u^2+v^2)/2,
+          with q = zeta + f. Product selected by program_id around ONE
+          transform body (a (1,5) one-hot table block would violate
+          Mosaic's min-tile rule).
+  KC_SW   grid (5, cols): forward partial y-stages -> stacked product
+          spectra (5, nx, hny).
+  COMBINE grid (cols): the three dealiased spectral tendencies
+          (SURVEY.md §5.5-5.7 contract: dealias the TENDENCY, viscosity
+          from the current stage state) in one elementwise kernel:
+            dzeta = mask * (-(ikx)QU - (iky)QV + nu lap Z + S_hat)
+            ddiv  = mask * ( (ikx)QV - (iky)QU - lap PHI + nu lap D)
+            deta  = mask * (-(ikx)EU - (iky)EV - H D)
+
+RK4 plane arithmetic (stage axpy, final combination) also runs as
+trivial Pallas elementwise kernels: XLA elementwise passes measured only
+~140 GB/s effective on this chip (BASELINE.md chained-scan breakdown),
+and the SW state is 6 planes — 3x the barotropic carry.
+
+Differentially tested against the XLA SW core in interpret mode
+(tests/test_pallas_sw.py); selected on TPU via fft_backend='auto' at the
+plane-stepper sizes (models/shallow_water.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fft import (BLOCK, _compiler_params, _four_step, _interpret,
+                         _ka_tables, _kb_call_stacked, _kc_tables,
+                         _cmatmul_left, _dot2)
+
+
+# ---------------------------------------------------------------------------
+# KA_SW: grid-over-fields inverse x-stage of (u, v, zeta, eta).
+# ---------------------------------------------------------------------------
+
+def _ka_sw_kernel(n: int, zr_ref, zi_ref, dr_ref, di_ref, er_ref, ei_ref,
+                  rlap_ref,
+                  a1r_ref, a1i_ref, b1r_ref, b1i_ref, e1_ref,
+                  a2r_ref, a2i_ref, b2r_ref, b2i_ref, e2_ref, c3_ref,
+                  far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                  owr_ref, owi_ref):
+    m = zr_ref.shape[1]
+    rlap = rlap_ref[:]
+
+    def diag(ar, ai, br, bi, e, xr, xi):
+        rl = 1.0 + e * (rlap - 1.0)          # rlap^e, e in {0, 1}
+        t1r = xr * ar - xi * ai
+        t1i = xr * ai + xi * ar
+        return (t1r * br - t1i * bi) * rl, (t1r * bi + t1i * br) * rl
+
+    x1r, x1i = diag(a1r_ref[0], a1i_ref[0], b1r_ref[0], b1i_ref[0],
+                    e1_ref[0], zr_ref[:], zi_ref[:])
+    x2r, x2i = diag(a2r_ref[0], a2i_ref[0], b2r_ref[0], b2i_ref[0],
+                    e2_ref[0], dr_ref[:], di_ref[:])
+    c3 = c3_ref[0]
+    xr = x1r + x2r + c3 * er_ref[:]
+    xi = x1i + x2i + c3 * ei_ref[:]
+    yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
+                        twi_ref[:], fbr_ref[:], fbi_ref[:])
+    owr_ref[0] = yr.T
+    owi_ref[0] = yi.T
+
+
+def _sw_factors(kx, ky, nx, hny, eta_scale):
+    """Stacked per-field diagonal factors for (u, v, zeta, eta_scale*eta)."""
+    one_r = jnp.ones((nx, 1), jnp.float32)
+    zero_r = jnp.zeros((nx, 1), jnp.float32)
+    one_c = jnp.ones((1, hny), jnp.float32)
+    zero_c = jnp.zeros((1, hny), jnp.float32)
+    kxc = kx.reshape(nx, 1)
+    kyc = ky.reshape(1, hny)
+    # D1 acts on Z: u: -i ky rlap | v: i kx rlap | zeta: 1 | eta: 0
+    a1r = jnp.stack([one_r, zero_r, one_r, zero_r])
+    a1i = jnp.stack([zero_r, kxc, zero_r, zero_r])
+    b1r = jnp.stack([zero_c, one_c, one_c, zero_c])
+    b1i = jnp.stack([-kyc, zero_c, zero_c, zero_c])
+    e1 = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32).reshape(4, 1, 1)
+    # D2 acts on Dv: u: i kx rlap | v: i ky rlap | zeta: 0 | eta: 0
+    a2r = jnp.stack([zero_r, one_r, zero_r, zero_r])
+    a2i = jnp.stack([kxc, zero_r, zero_r, zero_r])
+    b2r = jnp.stack([one_c, zero_c, zero_c, zero_c])
+    b2i = jnp.stack([zero_c, kyc, zero_c, zero_c])
+    e2 = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32).reshape(4, 1, 1)
+    # c3 selects E for the eta slot, SCALED: eta_scale is the dynamic
+    # power-of-two that brings eta to zeta's magnitude before the two are
+    # Hermitian-PAIRED in one c2r y-stage — float32 pairing cross-talk is
+    # ~eps * max(|partner|), so pairing metre-scale eta with 1e-4-scale
+    # zeta unbalanced would bury zeta's low bits (measured 8e-3 relative
+    # at 5.0 m vs 1e-4 s^-1). Power-of-two scaling is EXACT in float32.
+    s = jnp.asarray(eta_scale, jnp.float32).reshape(())
+    c3 = jnp.concatenate([jnp.zeros((3,), jnp.float32),
+                          s[None]]).reshape(4, 1, 1)
+    return (a1r, a1i, b1r, b1i, e1, a2r, a2i, b2r, b2i, e2, c3)
+
+
+def eta_pair_scale(planes):
+    """Power-of-two ratio max|zeta_hat| / max|eta_hat| from the spectral
+    state planes — the pairing equalizer for inverse_quad_planes.
+    Computed ONCE per jit call / segment (magnitudes drift slowly; the
+    scale only needs to be right to within a couple of orders)."""
+    zr, zi, _dr, _di, er, ei = planes
+    m_z = jnp.maximum(jnp.max(jnp.abs(zr)), jnp.max(jnp.abs(zi)))
+    m_e = jnp.maximum(jnp.max(jnp.abs(er)), jnp.max(jnp.abs(ei)))
+    ratio = jnp.where((m_z > 0) & (m_e > 0), m_z / jnp.maximum(m_e, 1e-30),
+                      1.0)
+    # EXACT power of two via exponent bits — jnp.exp2 lowers through
+    # exp(x*ln2) and lands 1 ulp off an exact power, which would make the
+    # scale/unscale round trip lossy
+    e = jnp.clip(jnp.round(jnp.log2(ratio)), -126.0, 126.0)
+    bits = (e.astype(jnp.int32) + 127) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
+                        eta_scale=1.0):
+    """(u, v, zeta, eta_scale*eta) physical fields from the SW spectral
+    state planes in one fused pipeline: KA_SW (grid over 4 fields) + 2x
+    stacked-KB. The eta slot comes back SCALED by eta_scale (see
+    _sw_factors); forward_tendencies unscales it in VMEM."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    scale = 1.0 / (nx * ny)
+    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
+    factors = _sw_factors(kx, ky, nx, hny, eta_scale)
+
+    spec_in = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+                           memory_space=pltpu.VMEM)
+    rvec = pl.BlockSpec((1, nx, 1), lambda f, i: (f, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cvec = pl.BlockSpec((1, 1, BLOCK), lambda f, i: (f, 0, i),
+                        memory_space=pltpu.VMEM)
+    svec = pl.BlockSpec((1, 1, 1), lambda f, i: (f, 0, 0),
+                        memory_space=pltpu.VMEM)
+    fac_specs = [rvec, rvec, cvec, cvec, svec,
+                 rvec, rvec, cvec, cvec, svec, svec]
+    tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+    ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
+                           memory_space=pltpu.VMEM)
+    wr, wi = pl.pallas_call(
+        functools.partial(_ka_sw_kernel, nx),
+        grid=(4, pl.cdiv(hny, BLOCK)),
+        in_specs=[spec_in] * 7 + fac_specs + tab_spec,
+        out_specs=(ow_spec, ow_spec),
+        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(zr, zi, dr, di, er, ei, rlap, *factors, *tables)
+    u, v = _kb_call_stacked(wr, wi, 0, 1, ny, scale)
+    zeta, eta = _kb_call_stacked(wr, wi, 2, 3, ny, scale)
+    return u, v, zeta, eta
+
+
+# ---------------------------------------------------------------------------
+# KA_FWD: grid-over-products forward x-stage. The product is a one-hot
+# DATA combination of the five flux/Bernoulli groups, so the body is one
+# real-input four-step.
+# ---------------------------------------------------------------------------
+
+def _ka_fwd_kernel(n: int, f0: float, grav: float,
+                   u_ref, v_ref, ze_ref, et_ref, ies_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   owr_ref, owi_ref):
+    m = u_ref.shape[1]
+    u = u_ref[:]
+    v = v_ref[:]
+    # undo the pairing equalizer (exact: 1/power-of-two)
+    eta = et_ref[:] * ies_ref[0, 0]
+    q = ze_ref[:] + f0
+    # product selected by grid index — VPU selects around ONE transform
+    # body (a (1, 5) one-hot table block would violate Mosaic's min-tile
+    # rule; program_id comparison keeps the table out entirely)
+    f = pl.program_id(0)
+    phi = grav * eta + 0.5 * (u * u + v * v)
+    prod = jnp.where(
+        f == 0, q * u,
+        jnp.where(f == 1, q * v,
+                  jnp.where(f == 2, eta * u,
+                            jnp.where(f == 3, eta * v, phi))))
+    yr, yi = _four_step(prod, None, n, m, far_ref[:], fai_ref[:],
+                        twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
+    owr_ref[0] = yr.T
+    owi_ref[0] = yi.T
+
+
+# ---------------------------------------------------------------------------
+# KC_SW: stacked forward partial y-stage (one field per grid step).
+# ---------------------------------------------------------------------------
+
+def _kc_sw_kernel(ny: int, xr_ref, xi_ref,
+                  far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                  or_ref, oi_ref):
+    a = 64
+    b = ny // a
+    m = xr_ref.shape[2]
+    hk2 = b // 2 + 1
+    xr = xr_ref[0].reshape(a, b * m)
+    xi = xi_ref[0].reshape(a, b * m)
+    s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
+    s1r = s1r.reshape(a, b, m)
+    s1i = s1i.reshape(a, b, m)
+    twr = twr_ref[:][:, :, None]
+    twi = twi_ref[:][:, :, None]
+    hr = s1r * twr - s1i * twi
+    hi = s1r * twi + s1i * twr
+    rr = _dot2(fbr_ref[:], hr)
+    ri = _dot2(fbr_ref[:], hi)
+    ir = _dot2(fbi_ref[:], hr)
+    ii = _dot2(fbi_ref[:], hi)
+    or_ref[0] = (rr - ii).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
+    oi_ref[0] = (ri + ir).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
+
+
+# ---------------------------------------------------------------------------
+# COMBINE: the three dealiased spectral tendencies from the five product
+# spectra + state + forcing spectrum, one elementwise pass.
+# ---------------------------------------------------------------------------
+
+def _combine_kernel(nu: float, H: float, has_src: bool, *refs):
+    if has_src:
+        (pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
+         sr_ref, si_ref, kx_ref, ky_ref, lap_ref, mask_ref,
+         dzr_ref, dzi_ref, ddr_ref, ddi_ref, der_ref, dei_ref) = refs
+    else:
+        (pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
+         kx_ref, ky_ref, lap_ref, mask_ref,
+         dzr_ref, dzi_ref, ddr_ref, ddi_ref, der_ref, dei_ref) = refs
+    # product spectra stacked (5, BLOCK, hny): QU QV EU EV PHI
+    qur, qvr, eur, evr, phr = (pr_ref[i] for i in range(5))
+    qui, qvi, eui, evi, phi_ = (pi_ref[i] for i in range(5))
+    kx = kx_ref[:]                           # (BLOCK, 1)
+    ky = ky_ref[:]                           # (1, hny)
+    lap = lap_ref[:]
+    mask = mask_ref[:]
+    nulap = nu * lap
+    zr, zi = zr_ref[:], zi_ref[:]
+    dr, di = dr_ref[:], di_ref[:]
+    # dzeta = -(ikx)QU - (iky)QV + nu lap Z (+ S_hat)
+    dzr = kx * qui + ky * qvi + nulap * zr
+    dzi = -kx * qur - ky * qvr + nulap * zi
+    if has_src:
+        dzr = dzr + sr_ref[:]
+        dzi = dzi + si_ref[:]
+    dzr_ref[:] = mask * dzr
+    dzi_ref[:] = mask * dzi
+    # ddiv = (ikx)QV - (iky)QU - lap PHI + nu lap D
+    ddr_ref[:] = mask * (-kx * qvi + ky * qui - lap * phr + nulap * dr)
+    ddi_ref[:] = mask * (kx * qvr - ky * qur - lap * phi_ + nulap * di)
+    # deta = -(ikx)EU - (iky)EV - H D
+    der_ref[:] = mask * (kx * eui + ky * evi - H * dr)
+    dei_ref[:] = mask * (-kx * eur - ky * evr - H * di)
+
+
+def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
+                       kx, ky, lap, mask, f0: float, grav: float,
+                       nu: float, H: float, grid_shape, eta_scale=1.0):
+    """Dealiased spectral tendency planes (dz, dd, de) of the SW RHS,
+    fully fused: KA_FWD (products + forward x-stages) + KC_SW (forward
+    y-stages) + COMBINE (gradients/Laplacians/viscosity/forcing/dealias).
+
+    state_planes: (zr, zi, dr, di, er, ei) of the CURRENT stage state
+    (viscosity and the -H*div term use it). src_planes: (sr, si) spectrum
+    of the forcing, or None. eta is expected PRE-SCALED by eta_scale
+    (inverse_quad_planes's pairing equalizer); KA_FWD unscales in VMEM."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    zr, zi, dr, di, _er, _ei = state_planes
+
+    # --- KA_FWD ---
+    ka_tabs = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
+    ies = (1.0 / jnp.asarray(eta_scale, jnp.float32)).reshape(1, 1)
+    f_in = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+                        memory_space=pltpu.VMEM)
+    ies_spec = pl.BlockSpec((1, 1), lambda f, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    ka_tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+                                memory_space=pltpu.VMEM) for t in ka_tabs]
+    ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
+                           memory_space=pltpu.VMEM)
+    f1r, f1i = pl.pallas_call(
+        functools.partial(_ka_fwd_kernel, nx, float(f0), float(grav)),
+        grid=(5, pl.cdiv(ny, BLOCK)),
+        in_specs=[f_in] * 4 + [ies_spec] + ka_tab_spec,
+        out_specs=(ow_spec, ow_spec),
+        out_shape=(jax.ShapeDtypeStruct((5, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((5, ny, nx), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(u, v, zeta, eta, ies, *ka_tabs)
+
+    # --- KC_SW ---
+    kc_tabs = [jnp.asarray(t) for t in _kc_tables(ny)]
+    c_in = pl.BlockSpec((1, ny, BLOCK), lambda f, i: (f, 0, i),
+                        memory_space=pltpu.VMEM)
+    kc_tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+                                memory_space=pltpu.VMEM) for t in kc_tabs]
+    spec_out = pl.BlockSpec((1, BLOCK, hny), lambda f, i: (f, i, 0),
+                            memory_space=pltpu.VMEM)
+    pr, pi = pl.pallas_call(
+        functools.partial(_kc_sw_kernel, ny),
+        grid=(5, pl.cdiv(nx, BLOCK)),
+        in_specs=[c_in, c_in] + kc_tab_spec,
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(f1r, f1i, *kc_tabs)
+
+    # --- COMBINE ---
+    has_src = src_planes is not None
+    stk = pl.BlockSpec((5, BLOCK, hny), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    kx_spec = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    ky_spec = pl.BlockSpec((1, hny), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    data = [pr, pi, zr, zi, dr, di]
+    specs = [stk, stk, row, row, row, row]
+    if has_src:
+        data += [src_planes[0], src_planes[1]]
+        specs += [row, row]
+    data += [kx.reshape(nx, 1), ky.reshape(1, hny), lap, mask]
+    specs += [kx_spec, ky_spec, row, row]
+    outs = pl.pallas_call(
+        functools.partial(_combine_kernel, float(nu), float(H), has_src),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=specs,
+        out_specs=(row,) * 6,
+        out_shape=tuple(jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+                        for _ in range(6)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*data)
+    return outs          # (dzr, dzi, ddr, ddi, der, dei)
+
+
+# ---------------------------------------------------------------------------
+# RK4 plane arithmetic as Pallas elementwise kernels. XLA elementwise
+# measured ~140 GB/s effective on this chip (BASELINE.md); these run at
+# HBM speed and matter at 6 planes of SW carry.
+# ---------------------------------------------------------------------------
+
+def _axpy_kernel(coef: float, n_planes: int, *refs):
+    ins = refs[:2 * n_planes]
+    outs = refs[2 * n_planes:]
+    for p in range(n_planes):
+        outs[p][:] = ins[p][:] + coef * ins[n_planes + p][:]
+
+
+def plane_axpy(s, r, coef: float):
+    """out_p = s_p + coef * r_p over tuples of same-shape planes."""
+    n = len(s)
+    nx = s[0].shape[0]
+    row = pl.BlockSpec((BLOCK, s[0].shape[1]), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_axpy_kernel, float(coef), n),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[row] * (2 * n),
+        out_specs=(row,) * n,
+        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in s),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*s, *r)
+
+
+def _rk4_combine_kernel(c: float, n_planes: int, *refs):
+    s0 = refs[0:n_planes]
+    r1 = refs[n_planes:2 * n_planes]
+    r2 = refs[2 * n_planes:3 * n_planes]
+    r3 = refs[3 * n_planes:4 * n_planes]
+    r4 = refs[4 * n_planes:5 * n_planes]
+    outs = refs[5 * n_planes:]
+    for p in range(n_planes):
+        outs[p][:] = s0[p][:] + (r1[p][:] + 2.0 * r2[p][:]
+                                 + 2.0 * r3[p][:] + r4[p][:]) * c
+
+
+def plane_rk4_combine(s0, r1, r2, r3, r4, c: float):
+    """out_p = s0_p + (r1_p + 2 r2_p + 2 r3_p + r4_p) * c (c = dt/6),
+    the RK4 tail (main.cpp:309-312) over tuples of same-shape planes."""
+    n = len(s0)
+    nx = s0[0].shape[0]
+    row = pl.BlockSpec((BLOCK, s0[0].shape[1]), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_rk4_combine_kernel, float(c), n),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[row] * (5 * n),
+        out_specs=(row,) * n,
+        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in s0),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*s0, *r1, *r2, *r3, *r4)
+
+
+def forward_planes(x):
+    """Unnormalized forward rfft2 of a real field, returned as (re, im)
+    float32 planes (nx, hny) — the source spectrum is computed ONCE per
+    segment (forcing is fixed across RK stages AND steps within a
+    segment, main-shallow-water.cpp:304) and fed to COMBINE as planes so
+    no complex array enters the scan."""
+    from .pallas_fft import _ka_call, _kc_call
+    nx, ny = x.shape
+    f1t = _ka_call(x, None, nx, forward=True, real_input=True)
+    return _kc_call(f1t, ny)

@@ -122,20 +122,47 @@ class ShardedBarotropicModel:
     segment: Callable
     diags: Callable
 
+    decomp: str = "slab"
+
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
               axis: str = AXIS,
-              fft_impl: str = "xla") -> "ShardedBarotropicModel":
-        n = axis_size(mesh, axis)
-        if cfg.nx % n != 0:
-            raise ValueError(
-                f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
-        t = SpectralTables.from_config(cfg)
+              fft_impl: str = "xla",
+              decomp: str = "slab") -> "ShardedBarotropicModel":
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
-        fwd, inv = _fft_pair(fft_impl, axis, n)
-        tspec = table_specs(axis)
-        spec2d = P(axis, None)
+        if decomp == "pencil":
+            from . import pencil
+            if fft_impl != "xla":
+                raise ValueError(
+                    "decomp='pencil' currently supports fft_impl='xla' "
+                    "only (the Pallas DMA kernels are slab-specific)")
+            axes = tuple(mesh.axis_names)
+            if len(axes) != 2:
+                raise ValueError(
+                    f"decomp='pencil' needs a 2-D mesh, got axes {axes}")
+            pxn, pyn = mesh.shape[axes[0]], mesh.shape[axes[1]]
+            pencil.check_grid(cfg.nx, cfg.ny, pxn, pyn)
+            hny = cfg.ny // 2 + 1
+            hpad = pencil.padded_half(hny, pxn * pyn)
+            t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
+            fwd, inv = pencil.make_fft_pair(axes, (pxn, pyn), hny)
+            tspec = pencil.table_specs(axes)
+            sspec = pencil.state_spec(axes)    # spectral x-pencils
+            pspec = pencil.phys_spec(axes)     # physical tiles
+            axis = axes
+        elif decomp == "slab":
+            n = axis_size(mesh, axis)
+            if cfg.nx % n != 0:
+                raise ValueError(
+                    f"nx={cfg.nx} not divisible by mesh axis {axis!r} "
+                    f"size {n}")
+            t = SpectralTables.from_config(cfg)
+            fwd, inv = _fft_pair(fft_impl, axis, n)
+            tspec = table_specs(axis)
+            sspec = pspec = P(axis, None)
+        else:
+            raise ValueError(f"unknown decomp: {decomp!r}")
 
         def step_local(tl, zeta_hat, src):
             return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
@@ -155,12 +182,12 @@ class ShardedBarotropicModel:
         # shard_map's vma check must be off for the DMA-based FFT impls.
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
-                            in_specs=(tspec, spec2d, spec2d),
-                            out_specs=spec2d, check_vma=vma)
+                            in_specs=(tspec, sspec, pspec),
+                            out_specs=sspec, check_vma=vma)
         diags_sm = shard_map(diags_local, mesh=mesh,
-                             in_specs=(tspec, spec2d),
+                             in_specs=(tspec, sspec),
                              out_specs=barotropic.DiagFields(
-                                 vort=spec2d, psi=spec2d, u=spec2d, v=spec2d),
+                                 vort=pspec, psi=pspec, u=pspec, v=pspec),
                              check_vma=vma)
 
         step = jax.jit(functools.partial(step_sm, t))
@@ -169,35 +196,79 @@ class ShardedBarotropicModel:
         def segment(zeta_hat, src, n_steps: int):
             local = shard_map(
                 functools.partial(segment_local, n_steps=n_steps),
-                mesh=mesh, in_specs=(tspec, spec2d, spec2d),
-                out_specs=spec2d, check_vma=vma)
+                mesh=mesh, in_specs=(tspec, sspec, pspec),
+                out_specs=sspec, check_vma=vma)
             return local(t, zeta_hat, src)
 
         diags = jax.jit(functools.partial(diags_sm, t))
 
         return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
-                   step=step, segment=segment, diags=diags)
+                   step=step, segment=segment, diags=diags,
+                   decomp=decomp)
 
     # ----- sharding helpers -----
-    def _sharding(self) -> NamedSharding:
+    def _hpad(self) -> int:
+        from . import pencil
+        return pencil.padded_half(self.cfg.ny // 2 + 1,
+                                  axis_size(self.mesh, self.axis))
+
+    def _spectral_sharding(self) -> NamedSharding:
+        if self.decomp == "pencil":
+            from . import pencil
+            return NamedSharding(self.mesh,
+                                 pencil.state_spec(self.axis))
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def _physical_sharding(self) -> NamedSharding:
+        if self.decomp == "pencil":
+            from . import pencil
+            return NamedSharding(self.mesh, pencil.phys_spec(self.axis))
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def shard_spectral(self, zeta_hat) -> jax.Array:
-        """Place a (nx, hny) spectral state on the mesh, row-sharded."""
-        return jax.device_put(jnp.asarray(zeta_hat, jnp.complex64),
-                              self._sharding())
+        """Place a (nx, hny) spectral state on the mesh (pencil mode pads
+        the half axis to hpad and column-shards)."""
+        import numpy as np
+        z = np.asarray(zeta_hat, np.complex64)
+        if self.decomp == "pencil":
+            from . import pencil
+            z = pencil.pad_spectral(z, self._hpad())
+        return jax.device_put(jnp.asarray(z), self._spectral_sharding())
+
+    def unshard_spectral(self, zeta_hat) -> "object":
+        """Sharded state -> host (nx, hny) ndarray (pencil pad stripped),
+        gathered across processes when not fully addressable."""
+        from . import multihost
+        import numpy as np
+        z = np.asarray(multihost.gather_to_host(zeta_hat))
+        if self.decomp == "pencil":
+            from . import pencil
+            z = pencil.strip_spectral(z, self.cfg.ny // 2 + 1)
+        return z
 
     def shard_physical(self, field) -> jax.Array:
-        """Place a (nx, ny) physical field on the mesh, row-sharded."""
+        """Place a (nx, ny) physical field on the mesh."""
         return jax.device_put(jnp.asarray(field, jnp.float32),
-                              self._sharding())
+                              self._physical_sharding())
 
     def init_state(self, vort0) -> jax.Array:
         """Physical IC -> sharded spectral state via the distributed FFT."""
-        n = axis_size(self.mesh, self.axis)
-        fwd, _ = dfft.make_fft_pair(self.axis, n)
-        f = shard_map(fwd, mesh=self.mesh, in_specs=P(self.axis, None),
-                      out_specs=P(self.axis, None))
+        if self.decomp == "pencil":
+            from . import pencil
+            axes = self.axis
+            pxn = self.mesh.shape[axes[0]]
+            pyn = self.mesh.shape[axes[1]]
+            fwd, _ = pencil.make_fft_pair(axes, (pxn, pyn),
+                                          self.cfg.ny // 2 + 1)
+            f = shard_map(fwd, mesh=self.mesh,
+                          in_specs=pencil.phys_spec(axes),
+                          out_specs=pencil.state_spec(axes))
+        else:
+            n = axis_size(self.mesh, self.axis)
+            fwd, _ = dfft.make_fft_pair(self.axis, n)
+            f = shard_map(fwd, mesh=self.mesh,
+                          in_specs=P(self.axis, None),
+                          out_specs=P(self.axis, None))
         return jax.jit(f)(self.shard_physical(vort0))
 
     def zero_source(self) -> jax.Array:
@@ -218,25 +289,52 @@ class ShardedShallowWaterModel:
     segment: Callable
     diags: Callable
 
+    decomp: str = "slab"
+
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
               axis: str = AXIS,
-              fft_impl: str = "xla") -> "ShardedShallowWaterModel":
+              fft_impl: str = "xla",
+              decomp: str = "slab") -> "ShardedShallowWaterModel":
         from ..models import shallow_water as sw
 
-        n = axis_size(mesh, axis)
-        if cfg.nx % n != 0:
-            raise ValueError(
-                f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
-        t = SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
-        fwd, inv = _fft_pair(fft_impl, axis, n)
-        tspec = table_specs(axis)
-        spec2d = P(axis, None)
-        sspec = sw.SWState(zeta_hat=spec2d, div_hat=spec2d, eta_hat=spec2d)
+        if decomp == "pencil":
+            from . import pencil
+            if fft_impl != "xla":
+                raise ValueError(
+                    "decomp='pencil' currently supports fft_impl='xla' "
+                    "only (the Pallas DMA kernels are slab-specific)")
+            axes = tuple(mesh.axis_names)
+            if len(axes) != 2:
+                raise ValueError(
+                    f"decomp='pencil' needs a 2-D mesh, got axes {axes}")
+            pxn, pyn = mesh.shape[axes[0]], mesh.shape[axes[1]]
+            pencil.check_grid(cfg.nx, cfg.ny, pxn, pyn)
+            hny = cfg.ny // 2 + 1
+            hpad = pencil.padded_half(hny, pxn * pyn)
+            t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
+            fwd, inv = pencil.make_fft_pair(axes, (pxn, pyn), hny)
+            tspec = pencil.table_specs(axes)
+            spec1 = pencil.state_spec(axes)
+            pspec = pencil.phys_spec(axes)
+            axis = axes
+        elif decomp == "slab":
+            n = axis_size(mesh, axis)
+            if cfg.nx % n != 0:
+                raise ValueError(
+                    f"nx={cfg.nx} not divisible by mesh axis {axis!r} "
+                    f"size {n}")
+            t = SpectralTables.from_config(cfg)
+            fwd, inv = _fft_pair(fft_impl, axis, n)
+            tspec = table_specs(axis)
+            spec1 = pspec = P(axis, None)
+        else:
+            raise ValueError(f"unknown decomp: {decomp!r}")
+        sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
 
         def step_local(tl, s, src):
             return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
@@ -244,7 +342,7 @@ class ShardedShallowWaterModel:
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
-                            in_specs=(tspec, sspec, spec2d),
+                            in_specs=(tspec, sspec, pspec),
                             out_specs=sspec, check_vma=vma)
         step = jax.jit(functools.partial(step_sm, t))
 
@@ -257,7 +355,7 @@ class ShardedShallowWaterModel:
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
-                             in_specs=(tspec, sspec, spec2d),
+                             in_specs=(tspec, sspec, pspec),
                              out_specs=sspec, check_vma=vma)(t, s, src)
 
         def diags_local(tl, s):
@@ -269,21 +367,52 @@ class ShardedShallowWaterModel:
                 h=H + inv(s.eta_hat, g), u=inv(u_hat, g), v=inv(v_hat, g),
                 psi=inv(psi_hat, g))
 
-        dspec = sw.SWDiagFields(vort=spec2d, div=spec2d, h=spec2d,
-                                u=spec2d, v=spec2d, psi=spec2d)
+        dspec = sw.SWDiagFields(vort=pspec, div=pspec, h=pspec,
+                                u=pspec, v=pspec, psi=pspec)
         diags_sm = shard_map(diags_local, mesh=mesh,
                              in_specs=(tspec, sspec), out_specs=dspec,
                              check_vma=vma)
         diags = jax.jit(functools.partial(diags_sm, t))
 
         return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
-                   step=step, segment=segment, diags=diags)
+                   step=step, segment=segment, diags=diags,
+                   decomp=decomp)
 
-    def _sharding(self) -> NamedSharding:
+    def _spectral_sharding(self) -> NamedSharding:
+        if self.decomp == "pencil":
+            from . import pencil
+            return NamedSharding(self.mesh, pencil.state_spec(self.axis))
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def _physical_sharding(self) -> NamedSharding:
+        if self.decomp == "pencil":
+            from . import pencil
+            return NamedSharding(self.mesh, pencil.phys_spec(self.axis))
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def shard_state(self, s) -> "object":
-        return jax.device_put(s, self._sharding())
+        if self.decomp == "pencil":
+            from . import pencil
+            import numpy as np
+            from ..models.shallow_water import SWState
+            hpad = pencil.padded_half(self.cfg.ny // 2 + 1,
+                                      axis_size(self.mesh, self.axis))
+            s = SWState(*(jnp.asarray(
+                pencil.pad_spectral(np.asarray(a), hpad)) for a in s))
+        return jax.device_put(s, self._spectral_sharding())
+
+    def unshard_state(self, s):
+        """Sharded SWState -> host SWState of (nx, hny) ndarrays (pencil
+        pad stripped), gathered across processes when needed."""
+        from . import multihost
+        import numpy as np
+        from ..models.shallow_water import SWState
+        arrs = [np.asarray(multihost.gather_to_host(a)) for a in s]
+        if self.decomp == "pencil":
+            from . import pencil
+            hny = self.cfg.ny // 2 + 1
+            arrs = [pencil.strip_spectral(a, hny) for a in arrs]
+        return SWState(*arrs)
 
     def init_state(self, vort0, div0=None, h0=None):
         """Build the SW state on host via the single-device model's layout,
@@ -299,4 +428,5 @@ class ShardedShallowWaterModel:
 
     def zero_source(self) -> jax.Array:
         return jax.device_put(
-            jnp.zeros(self.cfg.grid_shape, jnp.float32), self._sharding())
+            jnp.zeros(self.cfg.grid_shape, jnp.float32),
+            self._physical_sharding())

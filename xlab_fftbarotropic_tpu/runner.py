@@ -86,6 +86,10 @@ class _BarotropicAdapter:
                     enstrophy=float(s.enstrophy), cfl=float(s.cfl))
 
     def pack(self, state):
+        if hasattr(self.model, "unshard_spectral"):
+            # sharded models: gather (multi-process safe) and strip any
+            # pencil pad so checkpoints are layout-independent
+            return self.model.unshard_spectral(state)
         return _np(state)
 
     def unpack(self, packed):
@@ -138,6 +142,8 @@ class _ShallowWaterAdapter:
                     max_abs_div=float(s.max_abs_div), cfl=float(s.cfl))
 
     def pack(self, state):
+        if hasattr(self.model, "unshard_state"):
+            return np.stack(list(self.model.unshard_state(state)))
         return np.stack([_np(a) for a in state])
 
     def unpack(self, packed):
@@ -191,17 +197,28 @@ class _FDAdapter:
 
 def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
                  model=None, shard: bool = False,
-                 shard_fft: str = "xla"):
+                 shard_fft: str = "xla", decomp: str = "slab",
+                 mesh_shape=None):
     if shard and model is None:
         from .parallel import (ShardedBarotropicModel,
                                ShardedShallowWaterModel, make_mesh)
-        mesh = make_mesh()
+        if decomp == "pencil":
+            from .parallel import pencil
+            if mesh_shape is None:
+                # hosts on the inter-host px axis, chips on py
+                n_proc = jax.process_count()
+                mesh_shape = (n_proc, len(jax.devices()) // n_proc)
+            mesh = pencil.make_pencil_mesh(tuple(mesh_shape))
+        else:
+            mesh = make_mesh()
         if model_kind in ("barotropic", "bt"):
             model = ShardedBarotropicModel.build(cfg, mesh,
-                                                 fft_impl=shard_fft)
+                                                 fft_impl=shard_fft,
+                                                 decomp=decomp)
         elif model_kind in ("shallow-water", "sw"):
             model = ShardedShallowWaterModel.build(cfg, mesh,
-                                                   fft_impl=shard_fft)
+                                                   fft_impl=shard_fft,
+                                                   decomp=decomp)
         else:
             raise ValueError(
                 f"--shard is not supported for model kind {model_kind!r}")
@@ -226,6 +243,8 @@ def run(cfg: ModelConfig,
         model_kind: str = "barotropic",
         shard: bool = False,
         shard_fft: str = "xla",
+        decomp: str = "slab",
+        mesh_shape=None,
         collect_stats: bool = True,
         check_finite: bool = True,
         debug_fields: bool = False) -> RunResult:
@@ -248,7 +267,8 @@ def run(cfg: ModelConfig,
     banner appears at record boundaries only (deliberate deviation).
     """
     adapter = make_adapter(cfg, model_kind, model, shard=shard,
-                           shard_fft=shard_fft)
+                           shard_fft=shard_fft, decomp=decomp,
+                           mesh_shape=mesh_shape)
     if debug_fields and not hasattr(adapter, "debug_record_fields"):
         raise ValueError(
             f"--debug-fields is not supported for model kind {model_kind!r}")
