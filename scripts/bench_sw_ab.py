@@ -1,0 +1,109 @@
+"""Shallow-water backend A/B at the north-star grid (one TPU process).
+
+Measures ms/step of the 20-step scanned SW segment at --nx (default
+4096^2, dt=0.75 — inside the gravity-wave CFL bound, see
+models/shallow_water.py:max_stable_dt) for three backends IN ONE
+process (tunnel discipline, CLAUDE.md):
+
+  xla     jnp.fft core (round-1: 137.4 ms/step at 4096^2)
+  pallas-transforms   fused per-transform pipeline, plane stepper
+                      disabled via XFB_PLANE_STEPPER_MAX=0 at build time
+                      (round-1: 96.6 ms/step)
+  pallas-planes       the fused plane-state stepper (ops/pallas_sw.py)
+
+Each non-XLA result is compared to the XLA segment output by an
+ON-DEVICE relative L2 per state component (only scalars cross the
+tunnel). Prints one JSON line per backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dt", type=float, default=0.75)
+    ap.add_argument("--backends", default="xla,transforms,planes")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.shallow_water import ShallowWaterModel
+
+    # tunnel warm-up: first device fetch of a process can stall minutes
+    t0 = time.perf_counter()
+    float(jnp.max(jnp.zeros((8,))))
+    print(f"# warm-up fetch {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    def build(backend):
+        cfg = ModelConfig(nx=args.nx, ny=args.nx, dt=args.dt,
+                          fft_backend=backend)
+        m = ShallowWaterModel.build(cfg)
+        s = m.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+        return m, s
+
+    def run(m, s):
+        """(ms_per_step, final state); compile excluded, completion forced
+        by a scalar checksum fetch."""
+        out = m.segment(s, None, args.steps)
+        c_w = float(jnp.max(jnp.abs(out.zeta_hat)))
+        t0 = time.perf_counter()
+        out = m.segment(s, None, args.steps)
+        c_t = float(jnp.max(jnp.abs(out.zeta_hat)))
+        dt = time.perf_counter() - t0
+        assert c_t == c_w, "nondeterministic segment"
+        return dt / args.steps * 1e3, out, c_t
+
+    @jax.jit
+    def rel_l2(a, b):
+        def r(x, y):
+            return jnp.linalg.norm(jnp.ravel(x - y)) / jnp.maximum(
+                jnp.linalg.norm(jnp.ravel(y)), 1e-30)
+        return (r(a.zeta_hat, b.zeta_hat), r(a.div_hat, b.div_hat),
+                r(a.eta_hat, b.eta_hat))
+
+    wanted = args.backends.split(",")
+    ref_out = None
+    for name in wanted:
+        t_build = time.perf_counter()
+        if name == "xla":
+            m, s = build("xla")
+        elif name == "transforms":
+            os.environ["XFB_PLANE_STEPPER_MAX"] = "0"
+            try:
+                m, s = build("pallas")
+            finally:
+                del os.environ["XFB_PLANE_STEPPER_MAX"]
+        elif name == "planes":
+            m, s = build("pallas")
+        else:
+            raise SystemExit(f"unknown backend {name}")
+        ms, out, csum = run(m, s)
+        rec = {"backend": name, "nx": args.nx, "steps": args.steps,
+               "dt": args.dt, "ms_per_step": round(ms, 2),
+               "gp_per_s": round(args.nx * args.nx / ms * 1e3, 1),
+               "checksum": csum,
+               "build_plus_compile_s":
+                   round(time.perf_counter() - t_build - ms
+                         * args.steps / 1e3, 1)}
+        if name == "xla":
+            ref_out = out
+        elif ref_out is not None:
+            rz, rd, re_ = (float(v) for v in rel_l2(out, ref_out))
+            rec["rel_l2_vs_xla"] = {"zeta": rz, "div": rd, "eta": re_}
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,16 +81,17 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> SWState:
+             inv_pair: Optional[Callable] = None,
+             fwd_pair: Optional[Callable] = None) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
 
     On the default single-device FFT path the 4 inverse transforms are
     Hermitian-PAIRED into 2 complex c2c transforms (ops/fft.py:inverse_pair
-    — the optimization measured +15% on the barotropic core). The forward
-    transforms stay UNPAIRED: forward_pair's conj(C(-k)) gather compiles
-    pathologically on the current TPU backend (observed compile hang at
-    4096^2); it remains available and CPU-tested in ops/fft.py for when
-    the backend supports it.
+    — the optimization measured +15% on the barotropic core). When
+    fwd_pair is given (ShallowWaterModel.build passes
+    ops/fft.py:forward_pair on the XLA backend), the two flux pairs
+    (qu, qv) and (eta*u, eta*v) are likewise packed into one complex
+    fft2 each — 5 forward transforms per stage become 3.
     """
     u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
     if inv_pair is None and inv is fft.inverse:
@@ -105,10 +106,14 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         eta = inv(s.eta_hat, grid_shape)
 
     q = zeta + f                       # absolute vorticity (f-plane)
-    qu_hat = fwd(q * u)
-    qv_hat = fwd(q * v)
-    eu_hat = fwd(eta * u)
-    ev_hat = fwd(eta * v)
+    if fwd_pair is not None:
+        qu_hat, qv_hat = fwd_pair(q * u, q * v)
+        eu_hat, ev_hat = fwd_pair(eta * u, eta * v)
+    else:
+        qu_hat = fwd(q * u)
+        qv_hat = fwd(q * v)
+        eu_hat = fwd(eta * u)
+        ev_hat = fwd(eta * v)
     # Bernoulli: g*eta + kinetic energy (pointwise, fused)
     phi_hat = fwd(g * eta + 0.5 * (u * u + v * v))
 
@@ -136,13 +141,14 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> SWState:
+             inv_pair: Optional[Callable] = None,
+             fwd_pair: Optional[Callable] = None) -> SWState:
     """Classic RK4 with per-stage dealiased tendencies — the same stepping
     contract as the barotropic core (main.cpp:286-317)."""
     d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
                           mean_depth=mean_depth,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
-                          inv_pair=inv_pair)
+                          inv_pair=inv_pair, fwd_pair=fwd_pair)
     k1 = _dealias_state(t, d(s))
     k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
     k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
@@ -285,14 +291,15 @@ class ShallowWaterModel:
 
             @jax.jit
             def step_(t, s: SWState, src):
-                sp_ = psw.forward_planes(src)
+                # src=None (unforced) skips COMBINE's source branch
+                sp_ = None if src is None else psw.forward_planes(src)
                 out = rk4_step_planes(t, _state_to_planes(s), sp_,
                                       dt, f, grav, nu, H, g_shape)
                 return _planes_to_state(out)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, s: SWState, src, n_steps: int):
-                sp_ = psw.forward_planes(src)
+                sp_ = None if src is None else psw.forward_planes(src)
                 p0 = _state_to_planes(s)
                 es = psw.eta_pair_scale(p0)   # once per segment
 
@@ -303,17 +310,38 @@ class ShallowWaterModel:
                 p, _ = jax.lax.scan(body, p0, None, length=n_steps)
                 return _planes_to_state(p)
         else:
+            # forward pairing (2 flux pairs -> 1 complex fft2 each) on the
+            # XLA backend; XFB_FORWARD_PAIR=0 disables for cross-process
+            # A/B (the numerics match rfft2 to float32 round-off,
+            # tests/test_spectral.py:test_forward_pair_matches_rfft2).
+            # Size-capped at 1024^2 by measurement (BASELINE.md,
+            # 2026-08-17): pairing is +7% at 1024^2 (5.80 -> 5.42
+            # ms/step) but -6.5% at 2048^2 (22.87 -> 24.45) — the full
+            # c2c fft2 + (-k) remap overtakes the 5->3 transform saving
+            # as the grid grows. (The old flip+roll formulation also hung
+            # the TPU compiler at 4096^2; the rev+concat rewrite compiles
+            # fine at 2048^2 — 71.5 s.)
+            import os
+            _fp_max = int(os.environ.get("XFB_FORWARD_PAIR_MAX", 1024))
+            fwd_pair = (fft.forward_pair
+                        if resolved == "xla"
+                        and max(g_shape) <= _fp_max
+                        and os.environ.get("XFB_FORWARD_PAIR", "1") != "0"
+                        else None)
+
             @jax.jit
             def step_(t, s: SWState, src):
                 return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
-                                fwd=fwd, inv=inv, inv_pair=inv_pair)
+                                fwd=fwd, inv=inv, inv_pair=inv_pair,
+                                fwd_pair=fwd_pair)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, s: SWState, src, n_steps: int):
                 def body(state, _):
                     return rk4_step(t, state, src, dt, f, grav, nu, H,
                                     g_shape, fwd=fwd, inv=inv,
-                                    inv_pair=inv_pair), None
+                                    inv_pair=inv_pair,
+                                    fwd_pair=fwd_pair), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
 

@@ -99,17 +99,26 @@ def forward_pair(a: jax.Array, b: jax.Array) -> tuple:
     C = fft2(a + ib); by linearity and Hermitian symmetry the half-spectra
     are A = (C(k) + conj(C(-k)))/2 and B = (C(k) - conj(C(-k)))/(2i),
     evaluated on the half axis only. Unnormalized, matching `forward`.
+
+    The (-k mod n) index map is built as concat(x[:1], flip(x[1:])) per
+    axis on the float32 real/imag planes — index 0 is its own mirror, the
+    rest is a contiguous reversal. The earlier flip-whole-axis-then-
+    roll-by-one formulation lowered to a fused gather that HUNG the TPU
+    compiler at 4096^2 (CLAUDE.md gap list), and reverse/roll on large
+    complex arrays is Unimplemented on this backend; rev-of-a-slice +
+    concat on real planes avoids both.
     """
     nx, ny = a.shape
     hny = ny // 2 + 1
     c = jnp.fft.fft2(a + 1j * b)
-    # conj(C(-k)) on the half axis: flip both axes then shift by one.
-    # The flip runs on the float32 real/imag planes — reverse/roll of a
-    # large full complex array is not implemented by the TPU backend.
     cr, ci = jnp.real(c), jnp.imag(c)
 
     def negk(x):
-        return jnp.roll(x[::-1, ::-1], shift=(1, 1), axis=(0, 1))[:, :hny]
+        # row k -> row (nx - k) mod nx; then col j -> col ny - j for
+        # j in [1, hny) with col 0 fixed, keeping only the half axis
+        x = jnp.concatenate([x[:1], x[1:][::-1]], axis=0)
+        return jnp.concatenate(
+            [x[:, :1], x[:, ny - hny + 1:][:, ::-1]], axis=1)
 
     c_neg = jax.lax.complex(negk(cr), -negk(ci))
     c = c[:, :hny]

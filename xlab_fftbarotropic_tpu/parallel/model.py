@@ -414,17 +414,21 @@ class ShardedShallowWaterModel:
             arrs = [pencil.strip_spectral(a, hny) for a in arrs]
         return SWState(*arrs)
 
+    def _single(self):
+        """Single-device model for IC construction. Pencil tables are
+        PADDED to hpad columns, so the single model builds its own
+        (unpadded) tables there; slab tables are shared."""
+        from ..models.shallow_water import ShallowWaterModel
+        tables = None if self.decomp == "pencil" else self.tables
+        return ShallowWaterModel.build(self.cfg, tables=tables)
+
     def init_state(self, vort0, div0=None, h0=None):
         """Build the SW state on host via the single-device model's layout,
         then shard (ICs are a one-time cost; the hot path stays on-mesh)."""
-        from ..models.shallow_water import ShallowWaterModel
-        single = ShallowWaterModel.build(self.cfg, tables=self.tables)
-        return self.shard_state(single.init_state(vort0, div0, h0))
+        return self.shard_state(self._single().init_state(vort0, div0, h0))
 
     def geostrophic_init(self, vort0):
-        from ..models.shallow_water import ShallowWaterModel
-        single = ShallowWaterModel.build(self.cfg, tables=self.tables)
-        return self.shard_state(single.geostrophic_init(vort0))
+        return self.shard_state(self._single().geostrophic_init(vort0))
 
     def zero_source(self) -> jax.Array:
         return jax.device_put(
