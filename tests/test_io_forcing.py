@@ -3,6 +3,7 @@
 import io
 import os
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -99,6 +100,42 @@ class TestFifoProtocol:
         assert reader.read(2.0)[0] is False
         th.join()
         reader.close()
+
+
+    def test_threaded_fifo_prefetch(self, tmp_path, rng):
+        """ThreadedFifoReader (the no-native fallback): same protocol
+        semantics as FifoSourceReader, one-step lookahead, and close()
+        returns promptly even with the prefetch thread blocked on an
+        idle pipe."""
+        cfg = ModelConfig(nx=16, ny=16)
+        fifo = tmp_path / "vort_src_fifo"
+        os.mkfifo(fifo)
+        f1 = rng.randn(16, 16).astype(np.float32)
+        hold = threading.Event()
+
+        def producer():
+            with open(fifo, "wb") as w:
+                fsrc.write_step(w, None)
+                fsrc.write_step(w, f1)
+                fsrc.write_step(w, None)
+                w.flush()
+                hold.wait(timeout=10)      # keep the pipe open (no EOF)
+
+        th = threading.Thread(target=producer)
+        th.start()
+        reader = fsrc.ThreadedFifoReader(cfg, fifo)
+        assert reader.read(0.0)[0] is False
+        changed, field = reader.read(1.0)
+        assert changed
+        np.testing.assert_array_equal(field, f1)
+        assert reader.read(2.0)[0] is False
+        # prefetch thread is now blocked in read(2) on the open pipe;
+        # close() must not hang on it
+        t0 = time.monotonic()
+        reader.close()
+        assert time.monotonic() - t0 < 2.0
+        hold.set()
+        th.join()
 
     def test_kuo2004_pulse_stream_schedule(self):
         cfg = ModelConfig(nx=8, ny=8, dt=3.0, total_steps=int(6 * 3600 / 3))

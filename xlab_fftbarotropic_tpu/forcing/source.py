@@ -58,11 +58,15 @@ class FifoSourceReader(SourceReader):
     self-clocks by writing one flag per step (vort_src_input.cpp:43-61).
     """
 
+    # buffered by default; ThreadedFifoReader needs raw fd semantics so
+    # close() from the model thread cannot deadlock on the buffer lock
+    _BUFFERING = -1
+
     def __init__(self, cfg: ModelConfig, path):
         super().__init__(cfg)
         # opening a FIFO for reading blocks until a writer connects,
         # same as the reference's fopen(..., "rb") (vorticity_source.cpp:89)
-        self._fd = open(path, "rb")
+        self._fd = open(path, "rb", buffering=self._BUFFERING)
 
     def read(self, time: float) -> Tuple[bool, Optional[np.ndarray]]:
         flag = self._fd.read(1)
@@ -91,6 +95,59 @@ class FifoSourceReader(SourceReader):
 
     def close(self) -> None:
         self._fd.close()
+
+
+class ThreadedFifoReader(FifoSourceReader):
+    """Pure-Python fallback with the native reader's one-step-lookahead
+    prefetch (native/vort_src.cpp contract): while the device integrates
+    step k, a daemon thread already blocks on step k+1's flag byte, so
+    pipe I/O overlaps device compute even without the C++ backend
+    (VORT_SRC overlap promise in runner.py — previously only true with
+    the native reader).
+
+    One-slot handoff (queue maxsize=1) bounds the lookahead to exactly
+    one protocol step, matching the native reader and the reference
+    producer's per-step self-clocking (vort_src_input.cpp:43-61).
+    Unbuffered raw I/O so close() never contends on a buffer lock with a
+    thread mid-read; a thread left blocked in read(2) is daemonized and
+    dies with the process (same as the native reader's detached exit).
+    """
+
+    _BUFFERING = 0
+
+    def __init__(self, cfg: ModelConfig, path):
+        super().__init__(cfg, path)
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._run, name="xfb-fifo-prefetch", daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                item = FifoSourceReader.read(self, 0.0)
+            except Exception as exc:      # surfaced at the next consume
+                self._q.put(exc)
+                return
+            self._q.put(item)
+
+    def read(self, time: float) -> Tuple[bool, Optional[np.ndarray]]:
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop = True
+        # free a producer blocked on the full slot so it can observe _stop
+        try:
+            self._q.get_nowait()
+        except Exception:
+            pass
+        super().close()
 
 
 class ScriptSourceReader(SourceReader):
@@ -148,7 +205,7 @@ def make_reader(cfg: ModelConfig, recipe: str = "empty",
         from ..io import native_stream
         if native_stream.available():
             return native_stream.NativeFifoReader(path, cfg.grid_shape)
-        return FifoSourceReader(cfg, path)
+        return ThreadedFifoReader(cfg, path)
     if recipe == "script":
         return ScriptSourceReader(cfg, path)
     raise ValueError(f"unknown recipe type {recipe!r}")
