@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 
 def main():
     ap = argparse.ArgumentParser()

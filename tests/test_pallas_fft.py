@@ -166,3 +166,63 @@ def test_auto_gate_is_range_based(monkeypatch):
     # plane-stepper cap is env-adjustable the same way
     monkeypatch.setenv("XFB_PLANE_STEPPER_MAX", "8192")
     assert bt.use_plane_stepper((8192, 8192)) == bt.PLANE_STEPPER
+
+
+def test_mm_bf16x3_trajectory_accuracy(monkeypatch):
+    """XFB_PALLAS_MM=bf16x3 (Veltkamp split-operand decomposition +
+    DEFAULT-precision dots, ops/pallas_fft._mm) must track the fp32
+    kernels at float32 round-off over a scanned segment. Under CPU
+    interpret, DEFAULT-precision dots run full f32, so this pins the
+    SPLIT STRUCTURE (hi+lo exact, tables split without loss, no term
+    dropped); the MXU's internal bf16 rounding of the lo/Tl parts adds
+    a bounded ~2^-16-of-product term on hardware, cross-checked there
+    by the A/B harness checksums (BASELINE.md). bf16 (single-pass) is a
+    speed-of-light probe only: ~4e-3."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    cfg = ModelConfig(nx=128, ny=128, fft_backend="pallas")
+    outs = {}
+    for mode in ("fp32", "bf16x3"):
+        monkeypatch.setattr(pallas_fft, "MM_MODE", mode)
+        m = BarotropicModel.build(cfg)
+        z = m.init_state(makefields.gaussian(cfg))
+        outs[mode] = np.asarray(
+            m.segment(z, jnp.zeros(cfg.grid_shape, jnp.float32), 5))
+    rel = (np.linalg.norm(outs["bf16x3"] - outs["fp32"])
+           / np.linalg.norm(outs["fp32"]))
+    assert rel < 2e-6, rel
+
+
+def test_mm_bf16x3_shallow_water(monkeypatch):
+    """Same split-structure pin for the SW family: pallas_sw reuses the
+    presplit-aware table builders (_ka_tables/_kc_tables) and the
+    _mm-routed helpers (_four_step/_cmatmul_left/_dot2), so a bf16x3
+    segment must track fp32 at float32 round-off under CPU interpret —
+    this would fail loudly if any SW matmul-LHS table skipped
+    _presplit_lhs (the halves would be sliced from an unsplit table)."""
+    import jax
+    import numpy as np
+
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.shallow_water import ShallowWaterModel
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    cfg = ModelConfig(nx=128, ny=128, fft_backend="pallas", dt=1.0)
+    outs = {}
+    for mode in ("fp32", "bf16x3"):
+        monkeypatch.setattr(pallas_fft, "MM_MODE", mode)
+        m = ShallowWaterModel.build(cfg)
+        z = m.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+        seg = m.segment(z, None, 5)
+        outs[mode] = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(seg)])
+    rel = (np.linalg.norm(outs["bf16x3"] - outs["fp32"])
+           / np.linalg.norm(outs["fp32"]))
+    assert rel < 2e-6, rel

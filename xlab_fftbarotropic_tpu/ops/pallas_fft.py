@@ -90,20 +90,143 @@ PRECISION = (jax.lax.Precision.HIGH
              if _os.environ.get("XFB_PALLAS_PRECISION", "") == "high"
              else jax.lax.Precision.HIGHEST)
 
+# Kernel matmul mode (process-global, like BLOCK/PRECISION — A/B across
+# processes only, CLAUDE.md lowering-cache note):
+#   fp32    dot_general at PRECISION (default HIGHEST = multi-pass
+#           bf16 decomposition chosen by the backend). SHIPPED DEFAULT.
+#   bf16x3  3-term split-operand decomposition Th.hi + Tl.hi + Th.lo
+#           (the dropped low*low term is ~2^-16 of the product): tables
+#           presplit host-side in f32, data split in-kernel by the
+#           Veltkamp trick, three DEFAULT-precision dots whose internal
+#           f32->bf16 conversion is exact for the hi parts. Same math
+#           as Precision.HIGH, which itself fails to lower through
+#           Mosaic (mlir lowering-cache KeyError, BASELINE.md).
+#           MEASURED AND REJECTED (2026-08-17, BASELINE.md): 11.56
+#           ms/step vs fp32's 10.83 at 2048^2 planes (the in-kernel
+#           Veltkamp VPU work + doubled table reads outrun the saving
+#           of 3 explicit passes vs HIGHEST's decomposition), and at
+#           4096^2 the presplit-table MLIR OOM-SIGKILLs the remote
+#           compile helper for BOTH pipelines. Hardware accuracy is
+#           excellent (2048^2 30-step checksum identical to XLA at all
+#           printed digits). Kept as an opt-in probe.
+#           NOTE: under CPU interpret, DEFAULT-precision dots run full
+#           f32, so interpret tests check the split STRUCTURE (exact
+#           decomposition, no term lost) rather than MXU rounding.
+#   bf16    single bf16 matmul (~4e-3 relative) — NOT for production;
+#           a speed-of-light probe of the matmul-bound share.
+#   default f32 dots at Precision.DEFAULT (backend casts to bf16,
+#           1 pass) — same accuracy class as bf16, probe only.
+MM_MODE = _os.environ.get("XFB_PALLAS_MM", "fp32")
+
+
+def _mm(lhs, rhs, dims):
+    """All kernel matmuls route through here (MM_MODE switch).
+
+    bf16x3 = the split-operand decomposition Th.rh + Tl.rh + Th.rl
+    (operand x = hi + lo; the dropped lo.lo term is ~2^-16 of the
+    product). Spelling, shaped by three measured remote-compile
+    failures (BASELINE.md):
+      * the table side comes PRE-SPLIT host-side as [Th; Tl] stacked on
+        axis 0 (_presplit_lhs), and Th.rh + Tl.rh runs as ONE
+        row-stacked 2r-high dot folded by a VPU row-add — a 64-row dot
+        idles half the MXU's output rows, and the row slices are
+        tile-aligned (no relayout);
+      * the data low bits come from _split_bf16's integer mask — the
+        arithmetic (x - hi)-via-upcast spelling SIGKILLs the remote
+        Mosaic compile at 4096^2;
+      * rejected: one dot over a 3x-concatenated CONTRACTION axis
+        (sublane-concat relayouts eat the matmul saving: 13.2 ms vs
+        fp32's 12.2 at 2048^2, and the compile OOMs at 4096^2), and
+        Precision.HIGH itself (mlir lowering-cache KeyError).
+    """
+    if MM_MODE in ("bf16x3", "bf16", "default"):
+        bf = jnp.bfloat16
+        d = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32)
+        if MM_MODE == "bf16":
+            return d(lhs.astype(bf), rhs.astype(bf))
+        if MM_MODE == "default":
+            return d(lhs, rhs, precision=jax.lax.Precision.DEFAULT)
+        dd = functools.partial(d, precision=jax.lax.Precision.DEFAULT)
+        # lhs is a table, presplit host-side to the f32 stack [Th; Tl]
+        # (_presplit_lhs rewrites EVERY matmul-lhs table in this mode)
+        r = lhs.shape[0] // 2
+        th, tl = lhs[:r], lhs[r:]
+        hi, lo = _veltkamp_split(rhs)
+        return dd(th, hi) + (dd(tl, hi) + dd(th, lo))
+    return jax.lax.dot_general(lhs, rhs, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=PRECISION)
+
+
+# Veltkamp splitting constant for an 8-significant-bit (= exactly
+# bf16-representable) high part: 2^16 + 1
+_VELT = np.float32(65537.0)
+
+
+def _veltkamp_split(x):
+    """x (f32) -> (hi, lo) f32 with x = hi + lo EXACTLY, hi carrying the
+    top 8 significant bits (exactly bf16-representable, so the dot's
+    internal f32->bf16 conversion of hi is lossless) and |lo| <=
+    2^-8 |x|.
+
+    Pure f32 mul/sub — the only splitting spelling that survives the
+    remote Mosaic compile at 2048^2 when its result feeds a second dot:
+    both the arithmetic (x - bf16(x))-via-upcast chain and the integer
+    mask/bitcast chain SIGKILL the helper there (bisected via debug
+    probes, BASELINE.md). At 4096^2 even this spelling OOMs the helper
+    (the presplit tables double the constant payload), so bf16x3 is
+    2048^2-and-below only in this environment. Relies on exact
+    round-to-nearest f32 ops (no fast-math in XLA/Mosaic);
+    overflow-safe for |x| < 2^111."""
+    c = x * _VELT
+    hi = c - (c - x)
+    return hi, x - hi
+
+
+def _presplit_lhs(tabs, idxs):
+    """In bf16x3 mode, replace each matmul-LHS table (r, k) by its
+    host-side split stack [Th ; Tl] (2r, k) — kept in FLOAT32 (Th is the
+    bf16 rounding of T, exactly representable in f32; Tl = T - Th) so
+    the kernels contain no bf16 values at all; _mm slices the halves
+    apart on the sublane axis and the DEFAULT-precision dots convert
+    internally. Twiddle / alternating-sign tables (elementwise VPU
+    factors) are untouched."""
+    if MM_MODE != "bf16x3":
+        return tabs
+    import ml_dtypes
+    bf = ml_dtypes.bfloat16
+    f32 = np.float32
+    tabs = list(tabs)
+    for i in idxs:
+        t = np.asarray(tabs[i])
+        th = t.astype(bf).astype(f32)
+        tl = (t - th).astype(f32)
+        tabs[i] = np.concatenate([th, tl], axis=0)
+    return tabs
+
+
+# four-step stage-1 factor override (probe knob): a=128 fills the MXU's
+# contraction depth on stage 1 at the cost of a 26% FLOP increase
+# (a + b = 160 vs 128 at n=4096) and changes every derived block shape
+# in the KA-family kernels
+_SPLIT_A = int(_os.environ.get("XFB_PALLAS_SPLIT_A", "0"))
+
 
 def _split(n: int) -> Tuple[int, int]:
     if n & (n - 1) or n < 16:
         raise ValueError(f"pallas FFT requires power-of-two length >= 16, "
                          f"got {n}")
+    if _SPLIT_A and n % _SPLIT_A == 0 and _SPLIT_A <= n:
+        return _SPLIT_A, n // _SPLIT_A
     log = n.bit_length() - 1
     a = 1 << (log - log // 2)
     return a, n // a
 
 
 def _dot(lhs, rhs, dims):
-    return jax.lax.dot_general(lhs, rhs, dimension_numbers=(dims, ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=PRECISION)
+    return _mm(lhs, rhs, dims)
 
 
 def _cmatmul_left(fr, fi, xr, xi):
@@ -136,17 +259,17 @@ def _ka_tables(n: int, forward: bool, scale: float = 1.0):
     # stage-2 matrix pre-transposed: [k2, j2]
     f_bt = np.exp(sign * np.pi * np.outer(j2, j2) / b)
     f32 = np.float32
-    return (f_a.real.astype(f32), f_a.imag.astype(f32),
-            tw.real.astype(f32), tw.imag.astype(f32),
-            f_bt.real.astype(f32), f_bt.imag.astype(f32))
+    return _presplit_lhs(
+        (f_a.real.astype(f32), f_a.imag.astype(f32),
+         tw.real.astype(f32), tw.imag.astype(f32),
+         f_bt.real.astype(f32), f_bt.imag.astype(f32)),
+        (0, 1, 4, 5))
 
 
 def _dot2(f, g):
     """Stage-2 contraction with the pre-transposed [k2, j2] matrix;
     dot_general emits (k2, k1, m) — already digit-swap order k = k1+a*k2."""
-    return jax.lax.dot_general(
-        f, g, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=PRECISION)
+    return _mm(f, g, ((1,), (1,)))
 
 
 def _four_step(xr, xi, n, m, far, fai, twr, twi, fbr, fbi):
@@ -477,7 +600,7 @@ def _kb_tables(ny: int, scale: float):
     # (-1)^y depends only on y1 (M even); fold scale in
     alt = ((-1.0) ** y1 * scale).astype(f32).reshape(m_dig, 1)
     tabs.append(alt)
-    return tabs
+    return _presplit_lhs(tabs, (0, 1, 4, 5, 8, 9))
 
 
 def _kb_body(ny: int, war, wai, wbr, wbi,
@@ -525,14 +648,10 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
     hi = jnp.concatenate([hpi, hqi], axis=1)
 
     # merged stage C: contract the 128-wide j1 axis with E2cat [y2, 128]
-    def dotc(f, g):
-        return jax.lax.dot_general(
-            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=PRECISION)
-    rr = dotc(e2r_ref[:], hr)                          # [y2, y1, m]
-    ri = dotc(e2r_ref[:], hi)
-    ir = dotc(e2i_ref[:], hr)
-    ii = dotc(e2i_ref[:], hi)
+    rr = _dot2(e2r_ref[:], hr)                         # [y2, y1, m]
+    ri = _dot2(e2r_ref[:], hi)
+    ir = _dot2(e2i_ref[:], hr)
+    ii = _dot2(e2i_ref[:], hi)
     outr = rr - ii
     outi = ri + ir
 
@@ -636,9 +755,11 @@ def _kc_tables(ny: int):
     tw = np.exp(-2j * np.pi * np.outer(j1, j2) / ny)
     f_bt = np.exp(-2j * np.pi * np.outer(k2, j2) / b)   # [k2_half, j2]
     f32 = np.float32
-    return (f_a.real.astype(f32), f_a.imag.astype(f32),
-            tw.real.astype(f32), tw.imag.astype(f32),
-            f_bt.real.astype(f32), f_bt.imag.astype(f32))
+    return _presplit_lhs(
+        (f_a.real.astype(f32), f_a.imag.astype(f32),
+         tw.real.astype(f32), tw.imag.astype(f32),
+         f_bt.real.astype(f32), f_bt.imag.astype(f32)),
+        (0, 1, 4, 5))
 
 
 def _kc_kernel(ny: int, xr_ref, xi_ref,
@@ -658,14 +779,10 @@ def _kc_kernel(ny: int, xr_ref, xi_ref,
     hr = s1r * twr - s1i * twi
     hi = s1r * twi + s1i * twr
 
-    def dot2(f, g):
-        return jax.lax.dot_general(
-            f, g, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=PRECISION)
-    rr = dot2(fbr_ref[:], hr)                   # [k2_half, k1, m]
-    ri = dot2(fbr_ref[:], hi)
-    ir = dot2(fbi_ref[:], hr)
-    ii = dot2(fbi_ref[:], hi)
+    rr = _dot2(fbr_ref[:], hr)                  # [k2_half, k1, m]
+    ri = _dot2(fbr_ref[:], hi)
+    ir = _dot2(fbi_ref[:], hr)
+    ii = _dot2(fbi_ref[:], hi)
     yr = (rr - ii).reshape(hk2 * a, m)          # rows k = k1 + a*k2
     yi = (ri + ir).reshape(hk2 * a, m)
     # keep rows [0, ny/2]: the (b/2+1) k2-blocks cover k up to
