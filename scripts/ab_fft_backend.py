@@ -64,6 +64,10 @@ def main():
             pallas_fft.PRECISION = (_jax.lax.Precision.HIGH
                                     if name.endswith("-high")
                                     else _jax.lax.Precision.HIGHEST)
+            if "yfirst" in name or "xfirst" in name:
+                # forward-pipeline order A/B (in-process global toggle,
+                # safe like PLANE_STEPPER)
+                pallas_fft.FWD_YFIRST = "yfirst" in name
             if name.endswith("-b256"):
                 if len(args.backends) > 1:
                     raise SystemExit("-b256 variants need their own "

@@ -89,6 +89,13 @@ def main():
                 del os.environ["XFB_PLANE_STEPPER_MAX"]
         elif name == "planes":
             m, s = build("pallas")
+        elif name in ("planes-yfirst", "planes-xfirst"):
+            # forward-pipeline order A/B (module-global toggle, safe
+            # in-process like PLANE_STEPPER; only BLOCK/PRECISION
+            # rebuilds trip the lowering-cache bug)
+            from xlab_fftbarotropic_tpu.ops import pallas_sw
+            pallas_sw.YFIRST = name.endswith("yfirst")
+            m, s = build("pallas")
         else:
             raise SystemExit(f"unknown backend {name}")
         ms, out, csum = run(m, s)

@@ -226,3 +226,30 @@ def test_mm_bf16x3_shallow_water(monkeypatch):
     rel = (np.linalg.norm(outs["bf16x3"] - outs["fp32"])
            / np.linalg.norm(outs["fp32"]))
     assert rel < 2e-6, rel
+
+
+def test_bt_yfirst_matches_xfirst(monkeypatch):
+    """Barotropic y-first forward order (KY_adv real partial y r2c +
+    KX over hny columns + VISC epilogue) vs the x-first order
+    (KA_adv + KC_visc) over a forced 5-step scanned segment — same
+    transform math, different factorization order, so float32 round-off
+    agreement; the nonzero forcing pins the once-per-jit src transpose
+    in BarotropicModel.build."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+
+    cfg = ModelConfig(nx=128, ny=128, fft_backend="pallas")
+    rng = np.random.default_rng(23)
+    src = jnp.asarray(
+        (1e-9 * rng.standard_normal(cfg.grid_shape)).astype(np.float32))
+    outs = {}
+    for yf in (True, False):
+        monkeypatch.setattr(pf, "FWD_YFIRST", yf)
+        m = BarotropicModel.build(cfg)
+        z = m.init_state(makefields.gaussian(cfg))
+        outs[yf] = np.asarray(jnp.fft.irfft2(m.segment(z, src, 5),
+                                             s=cfg.grid_shape))
+    err = np.max(np.abs(outs[True] - outs[False]))
+    assert err < 1e-5 * max(1.0, np.max(np.abs(outs[False]))), err

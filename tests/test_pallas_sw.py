@@ -63,6 +63,8 @@ def test_inverse_quad_planes_matches_xla():
 
     u, v, zeta, eta_s = psw.inverse_quad_planes(
         *planes, t.kx, t.ky, t.rlap, g, eta_scale=es)
+    if psw.YFIRST:      # physical fields come back y-major
+        u, v, zeta, eta_s = (x.T for x in (u, v, zeta, eta_s))
     eta = eta_s / es
 
     u_hat, v_hat = sw.sw_velocities(t, s.zeta_hat, s.div_hat)
@@ -95,7 +97,9 @@ def test_forward_tendencies_match_composition():
         u, v, zeta, eta_s, planes, sp_pl, t.kx, t.ky, t.lap, t.mask,
         f0, grav, nu, H, g, eta_scale=es))
 
-    # reference from the SAME u, v, zeta, eta
+    # reference from the SAME u, v, zeta, eta (x-major for jnp.fft)
+    if psw.YFIRST:
+        u, v, zeta, eta_s = (x.T for x in (u, v, zeta, eta_s))
     eta = eta_s / es
     q = zeta + f0
     qu, qv = fft.forward(q * u), fft.forward(q * v)
@@ -199,3 +203,21 @@ def test_forced_step_matches_xla():
     # and the source actually lands: differs from the unforced step
     out_p0 = m_p.step(s, jnp.zeros(g, jnp.float32))
     assert np.max(np.abs(np.asarray(out_p.zeta_hat - out_p0.zeta_hat))) > 0
+
+
+def test_yfirst_matches_xfirst(monkeypatch):
+    """The y-first forward pipeline (KY_FWD real partial r2c along the
+    halved axis + KX_FWD x c2c over hny columns) against the historical
+    x-first order (KA_FWD + KC_SW) over a 5-step scanned segment — the
+    two factorizations must agree at float32 round-off (they differ only
+    in op order; the transform math is identical)."""
+    from xlab_fftbarotropic_tpu.ic import makefields
+
+    outs = {}
+    for yfirst in (True, False):
+        monkeypatch.setattr(psw, "YFIRST", yfirst)
+        cfg = _cfg()
+        m = sw.ShallowWaterModel.build(cfg)
+        s = m.geostrophic_init(makefields.gaussian(cfg))
+        outs[yfirst] = m.segment(s, m.zero_source(), 5)
+    _assert_close_phys(outs[True], outs[False], _cfg().grid_shape, 1e-5)

@@ -207,12 +207,24 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
 
     Same math as rk4_step (main.cpp:286-317): each stage tendency is
     viscous + dealiased inside forward_tendency's epilogue.
+
+    With pallas_fft.fwd_yfirst_active() (default), `src` must arrive
+    Y-MAJOR (ny, nx) — callers transpose it ONCE per jit call, outside
+    the scan (see BarotropicModel.build), so the hot loop never pays the
+    flip; the physical intermediates flow y-major for free via KB's
+    folded write and the forward pipeline runs y-first.
     """
     from ..ops import pallas_fft as pf
 
+    yfirst = pf.fwd_yfirst_active()
+
     def d(sr, si):
         dvdx, dvdy, u, v = pf.derivative_quad_planes(
-            sr, si, t.kx, t.ky, t.rlap, grid_shape)
+            sr, si, t.kx, t.ky, t.rlap, grid_shape, ymajor=yfirst)
+        if yfirst:
+            return pf.forward_tendency_yfirst(
+                u, dvdx, v, dvdy, src, t.lap, t.mask, sr, si, nu,
+                grid_shape)
         return pf.forward_tendency(u, dvdx, v, dvdy, src, t.lap, t.mask,
                                    sr, si, nu, grid_shape)
 
@@ -325,18 +337,29 @@ class BarotropicModel:
         # tunnels for large buffers.
         if resolved == "pallas" and use_plane_stepper(g):
             # plane-state stepper: complex <-> (re, im) conversion only
-            # at the segment boundary (see rk4_step_planes)
+            # at the segment boundary (see rk4_step_planes). With the
+            # y-first forward order the forcing field is transposed to
+            # y-major ONCE per jit call, outside the scan.
+            from ..ops import pallas_fft as _pf
+
+            def _src_layout(src):
+                return jnp.transpose(src) if _pf.fwd_yfirst_active() \
+                    else src
+
             @jax.jit
             def step_(t, zeta_hat, src):
                 zr, zi = rk4_step_planes(t, jnp.real(zeta_hat),
-                                         jnp.imag(zeta_hat), src,
+                                         jnp.imag(zeta_hat),
+                                         _src_layout(src),
                                          dt, nu, g)
                 return jax.lax.complex(zr, zi)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, zeta_hat, src, n_steps: int):
+                src_l = _src_layout(src)
+
                 def body(zc, _):
-                    return rk4_step_planes(t, zc[0], zc[1], src,
+                    return rk4_step_planes(t, zc[0], zc[1], src_l,
                                            dt, nu, g), None
                 zc, _ = jax.lax.scan(
                     body, (jnp.real(zeta_hat), jnp.imag(zeta_hat)),

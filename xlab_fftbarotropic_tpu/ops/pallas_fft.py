@@ -452,13 +452,16 @@ def _stack_factors(kx, ky, nx, hny):
 
 def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
                            ky: jax.Array, rlap: jax.Array,
-                           grid_shape) -> tuple:
+                           grid_shape, ymajor: bool = False) -> tuple:
     """(zeta_x, zeta_y, u, v) physical fields from the spectral state
     PLANES in one fused pipeline: KA4 (one read of the state) + 2x KB
     pair y-stages.
 
     kx: (nx,) signed wavenumbers; ky: (hny,) half-axis wavenumbers;
     rlap: (nx, hny) reciprocal inverse-Laplacian table (SpectralTables).
+    ymajor=True returns the fields (ny, nx) y-major — the free layout
+    flip (KB's folded write) feeding the y-first forward pipeline;
+    supported in QUAD_MODE 'grid' only.
     """
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
@@ -503,9 +506,13 @@ def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
             interpret=_interpret(),
             compiler_params=_compiler_params(),
         )(zr, zi, rlap, ar, ai, br, bi, e, *tables)
-        dvdx, dvdy = _kb_call_stacked(wr, wi, 0, 1, ny, scale)
-        u, v = _kb_call_stacked(wr, wi, 2, 3, ny, scale)
+        dvdx, dvdy = _kb_call_stacked(wr, wi, 0, 1, ny, scale,
+                                      transpose_out=not ymajor)
+        u, v = _kb_call_stacked(wr, wi, 2, 3, ny, scale,
+                                transpose_out=not ymajor)
         return dvdx, dvdy, u, v
+    if ymajor:
+        raise NotImplementedError("ymajor requires QUAD_MODE='grid'")
     if QUAD_MODE == "quad":
         w = pl.pallas_call(
             functools.partial(_ka4_kernel, nx),
@@ -607,9 +614,13 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
              e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
              e1qr_ref, e1qi_ref, twqr_ref, twqi_ref,
              e2r_ref, e2i_ref, alt_ref,
-             oa_ref, ob_ref):
+             oa_ref, ob_ref, transpose_out: bool = True):
     """Shared KB body; inputs are the (ny/2+1, m) mixed-domain plane
-    ARRAYS (already loaded/sliced by the wrapping kernel)."""
+    ARRAYS (already loaded/sliced by the wrapping kernel).
+    transpose_out=False writes the physical block y-major ((ny, m)
+    instead of (m, ny)) — the layout the y-first forward pipeline reads,
+    making the layout flip free (the transpose was only ever a fold into
+    this write)."""
     a, _m_dig, b2 = _kb_split(ny)
     m = war.shape[1]
     half = ny // 2
@@ -661,8 +672,12 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
     outi = outi + alt[None, :, :] * p_i[half, :][None, None, :]
 
     # y = y1 + 64*y2: (y2, y1) flatten order; transposed write (m, ny)
-    oa_ref[:] = outr.reshape(ny, m).T
-    ob_ref[:] = outi.reshape(ny, m).T
+    if transpose_out:
+        oa_ref[:] = outr.reshape(ny, m).T
+        ob_ref[:] = outi.reshape(ny, m).T
+    else:
+        oa_ref[:] = outr.reshape(ny, m)
+        ob_ref[:] = outi.reshape(ny, m)
 
 
 def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref, *rest):
@@ -671,14 +686,14 @@ def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref, *rest):
              wbr_ref[0:half + 1, :], wbi_ref[0:half + 1, :], *rest)
 
 
-def _kb_kernel_stacked(ny: int, wr_a_ref, wi_a_ref, wr_b_ref, wi_b_ref,
-                       *rest):
+def _kb_kernel_stacked(ny: int, transpose_out: bool,
+                       wr_a_ref, wi_a_ref, wr_b_ref, wi_b_ref, *rest):
     """KB over two fields of the STACKED (4, hny, nx) quad output; the
     leading field index is pinned by the BlockSpec index_map."""
     half = ny // 2
     _kb_body(ny, wr_a_ref[0, 0:half + 1, :], wi_a_ref[0, 0:half + 1, :],
              wr_b_ref[0, 0:half + 1, :], wi_b_ref[0, 0:half + 1, :],
-             *rest)
+             *rest, transpose_out=transpose_out)
 
 
 def _kb_call(wat, wbt, ny: int, scale: float):
@@ -707,10 +722,12 @@ def _kb_call(wat, wbt, ny: int, scale: float):
     return outs
 
 
-def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float):
+def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float,
+                     transpose_out: bool = True):
     """KB reading fields fa, fb directly out of the stacked (4, hny, nx)
     quad output — no slicing copy; the field index is pinned in the
-    BlockSpec index_map. Returns a, b (nx, ny)."""
+    BlockSpec index_map. Returns a, b (nx, ny) — or (ny, nx) y-major
+    with transpose_out=False (free: the flip is just the write fold)."""
     _, hny, nx = wr.shape
     tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
     grid = (pl.cdiv(nx, BLOCK),)
@@ -720,15 +737,21 @@ def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float):
                             memory_space=pltpu.VMEM)
     tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM) for t in tables]
-    out_spec = pl.BlockSpec((BLOCK, ny), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    if transpose_out:
+        out_spec = pl.BlockSpec((BLOCK, ny), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        oshape = (nx, ny)
+    else:
+        out_spec = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        oshape = (ny, nx)
     return pl.pallas_call(
-        functools.partial(_kb_kernel_stacked, ny),
+        functools.partial(_kb_kernel_stacked, ny, transpose_out),
         grid=grid,
         in_specs=[fspec(fa), fspec(fa), fspec(fb), fspec(fb)] + tab_spec,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((nx, ny), jnp.float32),
-                   jax.ShapeDtypeStruct((nx, ny), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(oshape, jnp.float32),
+                   jax.ShapeDtypeStruct(oshape, jnp.float32)),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(wr, wi, wr, wi, *tables)
@@ -762,33 +785,47 @@ def _kc_tables(ny: int):
         (0, 1, 4, 5))
 
 
-def _kc_kernel(ny: int, xr_ref, xi_ref,
-               far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
-               or_ref, oi_ref):
+def _kc_body(ny: int, xr, xi, far, fai, twr, twi, fbr, fbi):
+    """Partial forward y four-step of (ny, m) ARRAYS -> (hny, m) rows
+    k in [0, ny/2] (digit order k = k1 + 64*k2, stage 2 restricted to
+    the (b/2+1) k2-blocks). xi=None for REAL input, which halves stage 1
+    (_rmatmul_left) — the building block of the y-first forward pipeline
+    where the r2c runs along the halved axis FIRST so every later stage
+    touches only hny columns."""
     a = 64
     b = ny // a
-    m = xr_ref.shape[1]
+    m = xr.shape[1]
     hk2 = b // 2 + 1
-    xr = xr_ref[:].reshape(a, b * m)
-    xi = xi_ref[:].reshape(a, b * m)
-    s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
+    if xi is None:
+        s1r, s1i = _rmatmul_left(far, fai, xr.reshape(a, b * m))
+    else:
+        s1r, s1i = _cmatmul_left(far, fai, xr.reshape(a, b * m),
+                                 xi.reshape(a, b * m))
     s1r = s1r.reshape(a, b, m)
     s1i = s1i.reshape(a, b, m)
-    twr = twr_ref[:][:, :, None]
-    twi = twi_ref[:][:, :, None]
-    hr = s1r * twr - s1i * twi
-    hi = s1r * twi + s1i * twr
+    twr3 = twr[:, :, None]
+    twi3 = twi[:, :, None]
+    hr = s1r * twr3 - s1i * twi3
+    hi = s1r * twi3 + s1i * twr3
 
-    rr = _dot2(fbr_ref[:], hr)                  # [k2_half, k1, m]
-    ri = _dot2(fbr_ref[:], hi)
-    ir = _dot2(fbi_ref[:], hr)
-    ii = _dot2(fbi_ref[:], hi)
+    rr = _dot2(fbr, hr)                         # [k2_half, k1, m]
+    ri = _dot2(fbr, hi)
+    ir = _dot2(fbi, hr)
+    ii = _dot2(fbi, hi)
     yr = (rr - ii).reshape(hk2 * a, m)          # rows k = k1 + a*k2
     yi = (ri + ir).reshape(hk2 * a, m)
     # keep rows [0, ny/2]: the (b/2+1) k2-blocks cover k up to
-    # a*(b/2+1)-1 = ny/2 + 63; the write below slices the first hny rows
-    or_ref[:] = yr[0:ny // 2 + 1, :].T
-    oi_ref[:] = yi[0:ny // 2 + 1, :].T
+    # a*(b/2+1)-1 = ny/2 + 63; the slice keeps the first hny rows
+    return yr[0:ny // 2 + 1, :], yi[0:ny // 2 + 1, :]
+
+
+def _kc_kernel(ny: int, xr_ref, xi_ref,
+               far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+               or_ref, oi_ref):
+    yr, yi = _kc_body(ny, xr_ref[:], xi_ref[:], far_ref[:], fai_ref[:],
+                      twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
 
 
 def _kc_call(xt, ny: int):
@@ -915,6 +952,114 @@ def forward_tendency(u, zx, v, zy, src, lap, mask, zr, zi, nu: float,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(f1t[0], f1t[1], lap, mask, zr, zi, *kc_tables)
+
+
+# ---------------------------------------------------------------------------
+# Y-first forward pipeline (barotropic). The r2c runs along the HALVED
+# axis first — KY_adv forms the advection product from y-major fields
+# and immediately runs the REAL-input partial y r2c (_kc_body, real
+# stage 1 + k2-restricted stage 2), so KX's full x c2c touches only
+# hny ~ ny/2 columns: ~33% less forward matmul volume and half the
+# forward-intermediate HBM vs the x-first order. Same reason the
+# INVERSE pipeline runs x-on-half-spectrum then c2r-y-last (and FFTW's
+# r2c transforms the contiguous axis first). The viscosity/dealias
+# epilogue moves to a separate elementwise pass (VISC) because KX's
+# VMEM live set has no room for the four epilogue operand blocks.
+# ---------------------------------------------------------------------------
+
+FWD_YFIRST = _os.environ.get("XFB_BT_YFIRST", "1") != "0"
+
+
+def fwd_yfirst_active() -> bool:
+    """y-first forward order for the barotropic plane stepper (needs the
+    grid-mode derivative kernel for the free y-major layout flip)."""
+    return FWD_YFIRST and QUAD_MODE == "grid"
+
+
+def _ky_adv_kernel(ny: int, u_ref, zx_ref, v_ref, zy_ref, src_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   or_ref, oi_ref):
+    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy_ref[:] + src_ref[:]
+    yr, yi = _kc_body(ny, adv, None, far_ref[:], fai_ref[:], twr_ref[:],
+                      twi_ref[:], fbr_ref[:], fbi_ref[:])
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+def _kx_fwd_bt_kernel(nx: int, xr_ref, xi_ref,
+                      far_ref, fai_ref, twr_ref, twi_ref,
+                      fbr_ref, fbi_ref, or_ref, oi_ref):
+    m = xr_ref.shape[1]
+    yr, yi = _four_step(xr_ref[:], xi_ref[:], nx, m, far_ref[:],
+                       fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+                       fbi_ref[:])
+    # natural orientation: rows are already spectral x
+    or_ref[:] = yr
+    oi_ref[:] = yi
+
+
+def _visc_kernel(nu: float, fr_ref, fi_ref, lap_ref, mask_ref,
+                 zr_ref, zi_ref, or_ref, oi_ref):
+    nulap = nu * lap_ref[:]
+    mask = mask_ref[:]
+    or_ref[:] = mask * (fr_ref[:] + nulap * zr_ref[:])
+    oi_ref[:] = mask * (fi_ref[:] + nulap * zi_ref[:])
+
+
+def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
+                            nu: float, grid_shape) -> tuple:
+    """forward_tendency with Y-MAJOR (ny, nx) physical inputs and the
+    y-first transform order: KY_adv (product + real partial y r2c) +
+    KX (x c2c over hny columns) + VISC (viscosity + dealias epilogue).
+    Same contract: dealias(rfft2(-u*zx - v*zy + src) + nu*lap*Z)."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
+    y_in = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    tab_spec_c = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM) for t in kc_tables]
+    row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    g1 = pl.pallas_call(
+        functools.partial(_ky_adv_kernel, ny),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[y_in] * 5 + tab_spec_c,
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(u, zx, v, zy, src, *kc_tables)
+
+    ka_tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
+    x_in = pl.BlockSpec((nx, BLOCK), lambda j: (0, j),
+                        memory_space=pltpu.VMEM)
+    tab_spec_a = [pl.BlockSpec(t.shape, lambda j: (0, 0),
+                               memory_space=pltpu.VMEM) for t in ka_tables]
+    x_out = pl.BlockSpec((nx, BLOCK), lambda j: (0, j),
+                         memory_space=pltpu.VMEM)
+    f2 = pl.pallas_call(
+        functools.partial(_kx_fwd_bt_kernel, nx),
+        grid=(pl.cdiv(hny, BLOCK),),
+        in_specs=[x_in, x_in] + tab_spec_a,
+        out_specs=(x_out, x_out),
+        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(g1[0], g1[1], *ka_tables)
+
+    return pl.pallas_call(
+        functools.partial(_visc_kernel, float(nu)),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[row_spec] * 6,
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(f2[0], f2[1], lap, mask, zr, zi)
 
 
 # ---------------------------------------------------------------------------

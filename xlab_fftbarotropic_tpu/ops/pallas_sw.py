@@ -58,9 +58,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from .pallas_fft import (BLOCK, _compiler_params, _four_step, _interpret,
-                         _ka_tables, _kb_call_stacked, _kc_tables,
-                         _cmatmul_left, _dot2)
+                         _ka_tables, _kb_call_stacked, _kc_body,
+                         _kc_tables, _cmatmul_left, _dot2)
+
+# Forward pipeline order. y-first (default) runs the real-input partial
+# r2c along the HALVED axis first (pallas_fft._kc_body with xi=None:
+# real stage-1 matmuls + the k2-restricted stage 2), so the following x
+# c2c touches only hny ~ ny/2 columns — ~33% less forward matmul volume
+# and half the forward-intermediate HBM vs the historical x-first order
+# (KA_FWD full-ny x-stage then partial y). This is the same reason the
+# INVERSE pipeline runs x-on-half-spectrum then c2r-y-last, and the same
+# reason FFTW's r2c transforms the contiguous axis first. The physical
+# fields arrive y-major for free (KB's folded write flipped,
+# _kb_call_stacked(transpose_out=False)). x-first kept for A/B.
+YFIRST = _os.environ.get("XFB_SW_YFIRST", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -181,8 +195,12 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(zr, zi, dr, di, er, ei, rlap, *factors, *tables)
-    u, v = _kb_call_stacked(wr, wi, 0, 1, ny, scale)
-    zeta, eta = _kb_call_stacked(wr, wi, 2, 3, ny, scale)
+    # y-first forward consumes the physical fields y-major — the layout
+    # flip is free (KB's folded transpose write, not an extra pass)
+    u, v = _kb_call_stacked(wr, wi, 0, 1, ny, scale,
+                            transpose_out=not YFIRST)
+    zeta, eta = _kb_call_stacked(wr, wi, 2, 3, ny, scale,
+                                 transpose_out=not YFIRST)
     return u, v, zeta, eta
 
 
@@ -216,6 +234,50 @@ def _ka_fwd_kernel(n: int, f0: float, grav: float,
                         twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
     owr_ref[0] = yr.T
     owi_ref[0] = yi.T
+
+
+# ---------------------------------------------------------------------------
+# KY_FWD / KX_FWD: the y-first forward pipeline (YFIRST). KY forms the
+# products from the y-major physical fields and immediately runs the
+# REAL-input partial r2c along y (halved axis first: real stage-1
+# matmuls + k2-restricted stage 2, pallas_fft._kc_body), writing the
+# half-spectrum x-major; KX then runs the full x c2c over only
+# hny ~ ny/2 columns. Same product set and epilogue contract as
+# KA_FWD/KC_SW — only the transform order differs.
+# ---------------------------------------------------------------------------
+
+def _ky_fwd_kernel(ny: int, f0: float, grav: float,
+                   u_ref, v_ref, ze_ref, et_ref, ies_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   or_ref, oi_ref):
+    u = u_ref[:]
+    v = v_ref[:]
+    # undo the pairing equalizer (exact: 1/power-of-two)
+    eta = et_ref[:] * ies_ref[0, 0]
+    q = ze_ref[:] + f0
+    f = pl.program_id(0)
+    phi = grav * eta + 0.5 * (u * u + v * v)
+    prod = jnp.where(
+        f == 0, q * u,
+        jnp.where(f == 1, q * v,
+                  jnp.where(f == 2, eta * u,
+                            jnp.where(f == 3, eta * v, phi))))
+    yr, yi = _kc_body(ny, prod, None, far_ref[:], fai_ref[:],
+                      twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
+    or_ref[0] = yr.T
+    oi_ref[0] = yi.T
+
+
+def _kx_fwd_kernel(nx: int, xr_ref, xi_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   or_ref, oi_ref):
+    m = xr_ref.shape[2]
+    yr, yi = _four_step(xr_ref[0], xi_ref[0], nx, m, far_ref[:],
+                        fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+                        fbi_ref[:])
+    # natural orientation — COMBINE reads (f, x, ky) directly
+    or_ref[0] = yr
+    oi_ref[0] = yi
 
 
 # ---------------------------------------------------------------------------
@@ -301,46 +363,81 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     hny = ny // 2 + 1
     zr, zi, dr, di, _er, _ei = state_planes
 
-    # --- KA_FWD ---
-    ka_tabs = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
     ies = (1.0 / jnp.asarray(eta_scale, jnp.float32)).reshape(1, 1)
-    f_in = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
-                        memory_space=pltpu.VMEM)
     ies_spec = pl.BlockSpec((1, 1), lambda f, i: (0, 0),
                             memory_space=pltpu.VMEM)
-    ka_tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
-                                memory_space=pltpu.VMEM) for t in ka_tabs]
-    ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
-                           memory_space=pltpu.VMEM)
-    f1r, f1i = pl.pallas_call(
-        functools.partial(_ka_fwd_kernel, nx, float(f0), float(grav)),
-        grid=(5, pl.cdiv(ny, BLOCK)),
-        in_specs=[f_in] * 4 + [ies_spec] + ka_tab_spec,
-        out_specs=(ow_spec, ow_spec),
-        out_shape=(jax.ShapeDtypeStruct((5, ny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((5, ny, nx), jnp.float32)),
-        interpret=_interpret(),
-        compiler_params=_compiler_params(),
-    )(u, v, zeta, eta, ies, *ka_tabs)
-
-    # --- KC_SW ---
     kc_tabs = [jnp.asarray(t) for t in _kc_tables(ny)]
-    c_in = pl.BlockSpec((1, ny, BLOCK), lambda f, i: (f, 0, i),
-                        memory_space=pltpu.VMEM)
     kc_tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
                                 memory_space=pltpu.VMEM) for t in kc_tabs]
+    ka_tabs = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
+    ka_tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+                                memory_space=pltpu.VMEM) for t in ka_tabs]
     spec_out = pl.BlockSpec((1, BLOCK, hny), lambda f, i: (f, i, 0),
                             memory_space=pltpu.VMEM)
-    pr, pi = pl.pallas_call(
-        functools.partial(_kc_sw_kernel, ny),
-        grid=(5, pl.cdiv(nx, BLOCK)),
-        in_specs=[c_in, c_in] + kc_tab_spec,
-        out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
-                   jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
-        interpret=_interpret(),
-        compiler_params=_compiler_params(),
-    )(f1r, f1i, *kc_tabs)
+
+    if YFIRST:
+        # --- KY_FWD: products + real-input partial y r2c (y-major in,
+        # x-major half-spectrum out) ---
+        y_in = pl.BlockSpec((ny, BLOCK), lambda f, i: (0, i),
+                            memory_space=pltpu.VMEM)
+        g1r, g1i = pl.pallas_call(
+            functools.partial(_ky_fwd_kernel, ny, float(f0), float(grav)),
+            grid=(5, pl.cdiv(nx, BLOCK)),
+            in_specs=[y_in] * 4 + [ies_spec] + kc_tab_spec,
+            out_specs=(spec_out, spec_out),
+            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
+                       jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(u, v, zeta, eta, ies, *kc_tabs)
+
+        # --- KX_FWD: full x c2c over the hny ~ ny/2 columns only ---
+        x_in = pl.BlockSpec((1, nx, BLOCK), lambda f, j: (f, 0, j),
+                            memory_space=pltpu.VMEM)
+        x_out = pl.BlockSpec((1, nx, BLOCK), lambda f, j: (f, 0, j),
+                             memory_space=pltpu.VMEM)
+        pr, pi = pl.pallas_call(
+            functools.partial(_kx_fwd_kernel, nx),
+            grid=(5, pl.cdiv(hny, BLOCK)),
+            in_specs=[x_in, x_in] + [
+                pl.BlockSpec(t.shape, lambda f, j: (0, 0),
+                             memory_space=pltpu.VMEM) for t in ka_tabs],
+            out_specs=(x_out, x_out),
+            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
+                       jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(g1r, g1i, *ka_tabs)
+    else:
+        # --- KA_FWD ---
+        f_in = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+                            memory_space=pltpu.VMEM)
+        ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
+                               memory_space=pltpu.VMEM)
+        f1r, f1i = pl.pallas_call(
+            functools.partial(_ka_fwd_kernel, nx, float(f0), float(grav)),
+            grid=(5, pl.cdiv(ny, BLOCK)),
+            in_specs=[f_in] * 4 + [ies_spec] + ka_tab_spec,
+            out_specs=(ow_spec, ow_spec),
+            out_shape=(jax.ShapeDtypeStruct((5, ny, nx), jnp.float32),
+                       jax.ShapeDtypeStruct((5, ny, nx), jnp.float32)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(u, v, zeta, eta, ies, *ka_tabs)
+
+        # --- KC_SW ---
+        c_in = pl.BlockSpec((1, ny, BLOCK), lambda f, i: (f, 0, i),
+                            memory_space=pltpu.VMEM)
+        pr, pi = pl.pallas_call(
+            functools.partial(_kc_sw_kernel, ny),
+            grid=(5, pl.cdiv(nx, BLOCK)),
+            in_specs=[c_in, c_in] + kc_tab_spec,
+            out_specs=(spec_out, spec_out),
+            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
+                       jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(f1r, f1i, *kc_tabs)
 
     # --- COMBINE ---
     has_src = src_planes is not None
