@@ -53,6 +53,13 @@ def _plane_stepper_max() -> int:
     return int(os.environ.get("XFB_PLANE_STEPPER_MAX", PLANE_STEPPER_MAX))
 
 
+def _fused_rk() -> bool:
+    """Fuse the RK stage-state axpy into the VISC epilogue and run the
+    RK tail as a Pallas plane combine (y-first path only)."""
+    import os
+    return os.environ.get("XFB_BT_FUSED_RK", "1") != "0"
+
+
 def use_plane_stepper(grid_shape) -> bool:
     return (PLANE_STEPPER
             and max(grid_shape) <= _plane_stepper_max())
@@ -217,18 +224,30 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
     from ..ops import pallas_fft as pf
 
     yfirst = pf.fwd_yfirst_active()
+    h = dt * 0.5
 
-    def d(sr, si):
+    def d(sr, si, axpy=None):
         dvdx, dvdy, u, v = pf.derivative_quad_planes(
             sr, si, t.kx, t.ky, t.rlap, grid_shape, ymajor=yfirst)
         if yfirst:
             return pf.forward_tendency_yfirst(
                 u, dvdx, v, dvdy, src, t.lap, t.mask, sr, si, nu,
-                grid_shape)
+                grid_shape, axpy=axpy)
         return pf.forward_tendency(u, dvdx, v, dvdy, src, t.lap, t.mask,
                                    sr, si, nu, grid_shape)
 
-    h = dt * 0.5
+    if yfirst and _fused_rk():
+        # stage updates fused into the VISC epilogue and the RK tail as
+        # a Pallas plane combine: no XLA elementwise inside the loop
+        from ..ops import pallas_sw as psw
+        r1r, r1i, s2r, s2i = d(zr, zi, axpy=(zr, zi, h))
+        r2r, r2i, s3r, s3i = d(s2r, s2i, axpy=(zr, zi, h))
+        r3r, r3i, s4r, s4i = d(s3r, s3i, axpy=(zr, zi, dt))
+        r4r, r4i = d(s4r, s4i)
+        return psw.plane_rk4_combine(
+            (zr, zi), (r1r, r1i), (r2r, r2i), (r3r, r3i), (r4r, r4i),
+            dt / 6.0)
+
     r1r, r1i = d(zr, zi)
     r2r, r2i = d(zr + r1r * h, zi + r1i * h)
     r3r, r3i = d(zr + r2r * h, zi + r2i * h)

@@ -178,12 +178,21 @@ def rk4_step_planes(t: SpectralTables, planes, src_planes,
     if eta_scale is None:
         eta_scale = psw.eta_pair_scale(planes)
 
-    def d(p):
+    def d(p, axpy=None):
         u, v, zeta, eta_s = psw.inverse_quad_planes(
             *p, t.kx, t.ky, t.rlap, grid_shape, eta_scale=eta_scale)
         return psw.forward_tendencies(
             u, v, zeta, eta_s, p, src_planes, t.kx, t.ky, t.lap, t.mask,
-            f, g, nu, mean_depth, grid_shape, eta_scale=eta_scale)
+            f, g, nu, mean_depth, grid_shape, eta_scale=eta_scale,
+            axpy=axpy)
+
+    if psw.fused_rk():
+        # stage axpys fused into COMBINE: the tendency is never re-read
+        r1, s2 = d(planes, axpy=(planes, dt * 0.5))
+        r2, s3 = d(s2, axpy=(planes, dt * 0.5))
+        r3, s4 = d(s3, axpy=(planes, dt))
+        r4 = d(s4)
+        return psw.plane_rk4_combine(planes, r1, r2, r3, r4, dt / 6.0)
 
     r1 = d(planes)
     r2 = d(psw.plane_axpy(planes, r1, dt * 0.5))

@@ -1006,12 +1006,32 @@ def _visc_kernel(nu: float, fr_ref, fi_ref, lap_ref, mask_ref,
     oi_ref[:] = mask * (fi_ref[:] + nulap * zi_ref[:])
 
 
+def _visc_axpy_kernel(nu: float, coef: float, fr_ref, fi_ref, lap_ref,
+                      mask_ref, zsr_ref, zsi_ref, z0r_ref, z0i_ref,
+                      rr_ref, ri_ref, nr_ref, ni_ref):
+    """VISC epilogue fused with the RK stage-state update: emits the
+    stage tendency r = mask*(F + nu*lap*Z_stage) AND the next stage
+    state z0 + coef*r in one HBM pass — no XLA elementwise remains
+    between the forward pipeline and the next stage's derivative read."""
+    nulap = nu * lap_ref[:]
+    mask = mask_ref[:]
+    rr = mask * (fr_ref[:] + nulap * zsr_ref[:])
+    ri = mask * (fi_ref[:] + nulap * zsi_ref[:])
+    rr_ref[:] = rr
+    ri_ref[:] = ri
+    nr_ref[:] = z0r_ref[:] + coef * rr
+    ni_ref[:] = z0i_ref[:] + coef * ri
+
+
 def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
-                            nu: float, grid_shape) -> tuple:
+                            nu: float, grid_shape, axpy=None) -> tuple:
     """forward_tendency with Y-MAJOR (ny, nx) physical inputs and the
     y-first transform order: KY_adv (product + real partial y r2c) +
     KX (x c2c over hny columns) + VISC (viscosity + dealias epilogue).
-    Same contract: dealias(rfft2(-u*zx - v*zy + src) + nu*lap*Z)."""
+    Same contract: dealias(rfft2(-u*zx - v*zy + src) + nu*lap*Z).
+
+    axpy=(z0r, z0i, coef) fuses the RK stage-state update into the
+    epilogue, returning (rr, ri, z0r+coef*rr, z0i+coef*ri)."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
@@ -1050,16 +1070,27 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
         compiler_params=_compiler_params(),
     )(g1[0], g1[1], *ka_tables)
 
+    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    if axpy is None:
+        return pl.pallas_call(
+            functools.partial(_visc_kernel, float(nu)),
+            grid=(pl.cdiv(nx, BLOCK),),
+            in_specs=[row_spec] * 6,
+            out_specs=(row_spec, row_spec),
+            out_shape=(plane, plane),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(f2[0], f2[1], lap, mask, zr, zi)
+    z0r, z0i, coef = axpy
     return pl.pallas_call(
-        functools.partial(_visc_kernel, float(nu)),
+        functools.partial(_visc_axpy_kernel, float(nu), float(coef)),
         grid=(pl.cdiv(nx, BLOCK),),
-        in_specs=[row_spec] * 6,
-        out_specs=(row_spec, row_spec),
-        out_shape=(jax.ShapeDtypeStruct((nx, hny), jnp.float32),
-                   jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
+        in_specs=[row_spec] * 8,
+        out_specs=(row_spec,) * 4,
+        out_shape=(plane,) * 4,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(f2[0], f2[1], lap, mask, zr, zi)
+    )(f2[0], f2[1], lap, mask, zr, zi, z0r, z0i)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,12 @@ from .pallas_fft import (BLOCK, _compiler_params, _four_step, _interpret,
 YFIRST = _os.environ.get("XFB_SW_YFIRST", "1") != "0"
 
 
+def fused_rk() -> bool:
+    """Fuse the RK stage axpys into COMBINE (models/shallow_water.py:
+    rk4_step_planes) — one fewer elementwise pass per stage."""
+    return _os.environ.get("XFB_SW_FUSED_RK", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # KA_SW: grid-over-fields inverse x-stage of (u, v, zeta, eta).
 # ---------------------------------------------------------------------------
@@ -313,15 +319,11 @@ def _kc_sw_kernel(ny: int, xr_ref, xi_ref,
 # spectra + state + forcing spectrum, one elementwise pass.
 # ---------------------------------------------------------------------------
 
-def _combine_kernel(nu: float, H: float, has_src: bool, *refs):
-    if has_src:
-        (pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
-         sr_ref, si_ref, kx_ref, ky_ref, lap_ref, mask_ref,
-         dzr_ref, dzi_ref, ddr_ref, ddi_ref, der_ref, dei_ref) = refs
-    else:
-        (pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
-         kx_ref, ky_ref, lap_ref, mask_ref,
-         dzr_ref, dzi_ref, ddr_ref, ddi_ref, der_ref, dei_ref) = refs
+def _combine_body(nu: float, H: float, has_src: bool,
+                  pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
+                  sr_ref, si_ref, kx_ref, ky_ref, lap_ref, mask_ref):
+    """The three dealiased tendency plane BLOCKS from the stacked
+    product-spectra block + state + forcing refs."""
     # product spectra stacked (5, BLOCK, hny): QU QV EU EV PHI
     qur, qvr, eur, evr, phr = (pr_ref[i] for i in range(5))
     qui, qvi, eui, evi, phi_ = (pi_ref[i] for i in range(5))
@@ -338,22 +340,50 @@ def _combine_kernel(nu: float, H: float, has_src: bool, *refs):
     if has_src:
         dzr = dzr + sr_ref[:]
         dzi = dzi + si_ref[:]
-    dzr_ref[:] = mask * dzr
-    dzi_ref[:] = mask * dzi
-    # ddiv = (ikx)QV - (iky)QU - lap PHI + nu lap D
-    ddr_ref[:] = mask * (-kx * qvi + ky * qui - lap * phr + nulap * dr)
-    ddi_ref[:] = mask * (kx * qvr - ky * qur - lap * phi_ + nulap * di)
-    # deta = -(ikx)EU - (iky)EV - H D
-    der_ref[:] = mask * (kx * eui + ky * evi - H * dr)
-    dei_ref[:] = mask * (-kx * eur - ky * evr - H * di)
+    return (mask * dzr, mask * dzi,
+            # ddiv = (ikx)QV - (iky)QU - lap PHI + nu lap D
+            mask * (-kx * qvi + ky * qui - lap * phr + nulap * dr),
+            mask * (kx * qvr - ky * qur - lap * phi_ + nulap * di),
+            # deta = -(ikx)EU - (iky)EV - H D
+            mask * (kx * eui + ky * evi - H * dr),
+            mask * (-kx * eur - ky * evr - H * di))
+
+
+def _combine_kernel(nu: float, H: float, has_src: bool, *refs):
+    if has_src:
+        ins, outs = refs[:12], refs[12:]
+    else:
+        ins, outs = refs[:10], refs[10:]
+        ins = ins[:6] + (None, None) + ins[6:]
+    for ref, val in zip(outs, _combine_body(nu, H, has_src, *ins)):
+        ref[:] = val
+
+
+def _combine_axpy_kernel(nu: float, H: float, has_src: bool, coef: float,
+                         *refs):
+    """COMBINE fused with the RK stage-state update: also reads the six
+    BASE state planes z0 and writes next = z0 + coef * tendency — the
+    separate plane_axpy pass (and its re-read of the tendency) vanishes."""
+    n_in = 12 if has_src else 10
+    ins, z0, outs = refs[:n_in], refs[n_in:n_in + 6], refs[n_in + 6:]
+    if not has_src:
+        ins = ins[:6] + (None, None) + ins[6:]
+    tend = _combine_body(nu, H, has_src, *ins)
+    for p in range(6):
+        outs[p][:] = tend[p]
+        outs[6 + p][:] = z0[p][:] + coef * tend[p]
 
 
 def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
                        kx, ky, lap, mask, f0: float, grav: float,
-                       nu: float, H: float, grid_shape, eta_scale=1.0):
+                       nu: float, H: float, grid_shape, eta_scale=1.0,
+                       axpy=None):
     """Dealiased spectral tendency planes (dz, dd, de) of the SW RHS,
     fully fused: KA_FWD (products + forward x-stages) + KC_SW (forward
     y-stages) + COMBINE (gradients/Laplacians/viscosity/forcing/dealias).
+
+    axpy=(z0_planes, coef) fuses the RK stage-state update into COMBINE
+    and returns (tendency_planes, z0 + coef*tendency) instead.
 
     state_planes: (zr, zi, dr, di, er, ei) of the CURRENT stage state
     (viscosity and the -H*div term use it). src_planes: (sr, si) spectrum
@@ -456,17 +486,30 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         specs += [row, row]
     data += [kx.reshape(nx, 1), ky.reshape(1, hny), lap, mask]
     specs += [kx_spec, ky_spec, row, row]
+    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    if axpy is None:
+        return pl.pallas_call(
+            functools.partial(_combine_kernel, float(nu), float(H),
+                              has_src),
+            grid=(pl.cdiv(nx, BLOCK),),
+            in_specs=specs,
+            out_specs=(row,) * 6,
+            out_shape=(plane,) * 6,
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(*data)       # (dzr, dzi, ddr, ddi, der, dei)
+    z0, coef = axpy
     outs = pl.pallas_call(
-        functools.partial(_combine_kernel, float(nu), float(H), has_src),
+        functools.partial(_combine_axpy_kernel, float(nu), float(H),
+                          has_src, float(coef)),
         grid=(pl.cdiv(nx, BLOCK),),
-        in_specs=specs,
-        out_specs=(row,) * 6,
-        out_shape=tuple(jax.ShapeDtypeStruct((nx, hny), jnp.float32)
-                        for _ in range(6)),
+        in_specs=specs + [row] * 6,
+        out_specs=(row,) * 12,
+        out_shape=(plane,) * 12,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*data)
-    return outs          # (dzr, dzi, ddr, ddi, der, dei)
+    )(*data, *z0)
+    return outs[:6], outs[6:]   # (tendency planes, z0 + coef*tendency)
 
 
 # ---------------------------------------------------------------------------
