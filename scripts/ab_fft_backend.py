@@ -48,6 +48,7 @@ def main():
     if args.dt is not None:
         cfg0 = cfg0.replace(dt=args.dt)
     results = {}
+    ref_out = None
     for name in args.backends:
         # pseudo-backends: '-high' suffix = Precision.HIGH (bf16x3)
         # matmuls, '-b256' = 256-lane blocks, 'pallas-planes*' = the
@@ -106,9 +107,23 @@ def main():
         assert ct == cw, "nondeterministic segment"
         gps = args.nx * args.nx * args.steps / dt
         results[name] = gps
-        print(json.dumps({"backend": name, "nx": args.nx,
-                          "ms_per_step": round(dt / args.steps * 1e3, 2),
-                          "gp_per_s": round(gps, 0)}))
+        rec = {"backend": name, "nx": args.nx,
+               "ms_per_step": round(dt / args.steps * 1e3, 2),
+               "gp_per_s": round(gps, 0)}
+        # on-device rel-L2 vs the FIRST backend in the list (only a
+        # scalar crosses the tunnel)
+        if ref_out is None:
+            ref_out = zt
+        else:
+            leaves = list(zip(jax.tree_util.tree_leaves(zt),
+                              jax.tree_util.tree_leaves(ref_out)))
+            num = sum(float(jnp.linalg.norm(jnp.ravel(a - b)) ** 2)
+                      for a, b in leaves)
+            den = sum(float(jnp.linalg.norm(jnp.ravel(b)) ** 2)
+                      for _, b in leaves)
+            rec["rel_l2_vs_" + args.backends[0]] = round(
+                (num / max(den, 1e-300)) ** 0.5, 9)
+        print(json.dumps(rec))
         sys.stdout.flush()
     if len(results) > 1 and "xla" in results:
         base = results["xla"]

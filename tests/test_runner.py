@@ -351,3 +351,29 @@ def test_blowup_still_closes_manifest(tmp_path):
     assert (tmp_path / "log").exists()
     text = (tmp_path / "log").read_text()
     assert "vort_step_0.bin" in text
+
+
+def test_fast_transforms_flag_plumbs(tmp_path, monkeypatch):
+    """xfb-run --fast-transforms must flip the Pallas kernel matmul mode
+    (XFB_PALLAS_MM=default + the already-imported module global) and the
+    run must still complete. On CPU interpret, DEFAULT-precision dots
+    are full f32, so the trajectory is unchanged; the 2.1x / 2.5e-5
+    rel-L2 effect is TPU-only (measured, BASELINE.md)."""
+    from xlab_fftbarotropic_tpu.cli import run as cli_run
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    monkeypatch.delenv("XFB_PALLAS_MM", raising=False)
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "fp32")
+    inp = tmp_path / "input"
+    inp.mkdir()
+    cfg = ModelConfig(nx=32, ny=32, input_dir=str(inp),
+                      output_dir=str(tmp_path / "out"))
+    write_field(str(inp / "initial_vorticity.bin"),
+                np.asarray(makefields.gaussian(cfg)))
+    cli_run.main(["-I", str(inp), "-O", str(tmp_path / "out"),
+                  "--nx", "32", "--ny", "32", "--total-steps", "4",
+                  "--record-step", "2", "--fast-transforms", "--cpu",
+                  "--manifest", str(tmp_path / "log")])
+    assert os.environ.get("XFB_PALLAS_MM") == "default"
+    assert pallas_fft.MM_MODE == "default"
+    assert (tmp_path / "out" / "vort_step_2.bin").exists()

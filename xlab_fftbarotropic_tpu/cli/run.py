@@ -41,6 +41,15 @@ def main(argv=None):
     p.add_argument("--manifest", default="log",
                    help="manifest path (the reference's `log` file)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--fast-transforms", action="store_true",
+                   help="single-pass bf16 matmuls inside the Pallas "
+                        "FFT kernels (XFB_PALLAS_MM=default): measured "
+                        "2.1x on TPU at 4096^2 at ~1e-4-class transform "
+                        "accuracy — for throughput-bound production "
+                        "runs where bf16-class round-off is acceptable; "
+                        "the float32 default keeps reference parity "
+                        "(<1e-6). TPU-only effect (CPU interpret always "
+                        "runs f32).")
     p.add_argument("--shard", action="store_true",
                    help="shard the run over ALL local devices "
                         "(slab decomposition; barotropic and sw only)")
@@ -61,6 +70,24 @@ def main(argv=None):
                         "(default: n_processes x local_devices, or 1xN "
                         "single-process)")
     args = p.parse_args(argv)
+
+    if args.fast_transforms:
+        import os
+        os.environ["XFB_PALLAS_MM"] = "default"
+        import sys as _sys
+        mod = _sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
+        if mod is not None:     # imported before the env var landed
+            mod.MM_MODE = "default"
+        print("# fast transforms: single-pass bf16 Pallas matmuls "
+              "(barotropic 30-step rel-L2 2.5e-5; reference parity "
+              "needs the float32 default)", file=sys.stderr)
+        if args.model in ("shallow-water", "sw"):
+            print("# WARNING: --fast-transforms corrupts shallow-water "
+                  "balance — bf16-class round-off in the near-cancelling "
+                  "divergence terms integrates into gravity-wave noise "
+                  "(measured eta rel-L2 7% after 20 steps at 4096^2, "
+                  "BASELINE.md). Use it for barotropic runs only.",
+                  file=sys.stderr)
 
     if args.cpu:
         import jax
