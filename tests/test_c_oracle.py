@@ -92,3 +92,39 @@ def test_c_oracle_matches_jax_model(c_run):
     jx_final = np.asarray(fft.inverse(z, cfg.grid_shape))
     c_final = read_field(out / "vort_final.bin", cfg.grid_shape)
     assert _rel(c_final, jx_final) < 3e-6
+
+
+@pytest.mark.parametrize("icname", ["kuo2004", "elliptic-vortex",
+                                    "const-vortex"])
+def test_c_oracle_other_ics(tmp_path, icname):
+    """Widen the triple-implementation differential beyond config #1's
+    gaussian: the reference's other IC families (binary-vortex merger,
+    elliptic vortex, Rankine-like constant vortex — C11-C13) drive much
+    sharper gradients through the dealias mask and Laplacian inversion,
+    so agreement here pins the contract under structured dynamics, not
+    just a smooth blob. 128^2, 60 RK4 steps, C++ oracle vs numpy oracle
+    vs the JAX model (xla and pallas-interpret backends)."""
+    if not _build():
+        pytest.skip("no C++ toolchain to build native/ref_oracle.out")
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+    from xlab_fftbarotropic_tpu.ops import fft
+    from xlab_fftbarotropic_tpu.oracle.reference_cpu import OracleBarotropic
+
+    cfg = ModelConfig(nx=128, ny=128, dt=3.0, total_steps=60,
+                      record_step=60)
+    vort0 = makefields.make(icname, cfg)
+    write_field(tmp_path / "init.bin", vort0)
+    (tmp_path / "out").mkdir()
+    subprocess.run([str(ORACLE), "128", "128", str(cfg.lx), str(cfg.ly),
+                    "3.0", str(cfg.nu), "60", "60",
+                    str(tmp_path / "init.bin"), str(tmp_path / "out")],
+                   check=True, timeout=300)
+    c_final = read_field(tmp_path / "out" / "vort_final.bin",
+                         cfg.grid_shape)
+    np_final = OracleBarotropic(cfg).run(vort0, 60)
+    assert _rel(c_final, np_final) < 3e-6
+    for backend in ("xla", "pallas"):
+        m = BarotropicModel.build(cfg.replace(fft_backend=backend))
+        z = m.segment(m.init_state(vort0), m.zero_source(), 60)
+        jx = np.asarray(fft.inverse(z, cfg.grid_shape))
+        assert _rel(c_final, jx) < 3e-6, backend
