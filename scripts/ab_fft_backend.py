@@ -62,13 +62,27 @@ def main():
             import jax as _jax
 
             from xlab_fftbarotropic_tpu.ops import pallas_fft
+            from xlab_fftbarotropic_tpu.ops import pallas_sw
             pallas_fft.PRECISION = (_jax.lax.Precision.HIGH
                                     if name.endswith("-high")
                                     else _jax.lax.Precision.HIGHEST)
+            # reset the order toggles per entry so an -xfirst variant
+            # cannot leak into a later plain name and mislabel it
+            if not hasattr(main, "_default_order"):
+                main._default_order = (pallas_fft.FWD_YFIRST,
+                                       pallas_sw.YFIRST)
+            pallas_fft.FWD_YFIRST, pallas_sw.YFIRST = main._default_order
             if "yfirst" in name or "xfirst" in name:
                 # forward-pipeline order A/B (in-process global toggle,
-                # safe like PLANE_STEPPER)
+                # safe like PLANE_STEPPER). Toggles BOTH families'
+                # globals: barotropic reads pallas_fft.FWD_YFIRST (and
+                # only via the plane stepper — require '-planes'), the
+                # SW stepper reads pallas_sw.YFIRST.
+                if args.model == "barotropic" and "planes" not in name:
+                    raise SystemExit("yfirst/xfirst needs the plane "
+                                     "stepper: use pallas-planes-*")
                 pallas_fft.FWD_YFIRST = "yfirst" in name
+                pallas_sw.YFIRST = "yfirst" in name
             if name.endswith("-b256"):
                 if len(args.backends) > 1:
                     raise SystemExit("-b256 variants need their own "

@@ -75,10 +75,17 @@ def main():
         return (r(a.zeta_hat, b.zeta_hat), r(a.div_hat, b.div_hat),
                 r(a.eta_hat, b.eta_hat))
 
+    from xlab_fftbarotropic_tpu.ops import pallas_sw
+    default_yfirst = pallas_sw.YFIRST
+    default_split = pallas_sw.SPLIT_LINEAR
     wanted = args.backends.split(",")
     ref_out = None
     for name in wanted:
         t_build = time.perf_counter()
+        # reset the order/split toggles so a variant entry cannot leak
+        # into a later plain 'planes' row and mislabel the default config
+        pallas_sw.YFIRST = default_yfirst
+        pallas_sw.SPLIT_LINEAR = default_split
         if name == "xla":
             m, s = build("xla")
         elif name == "transforms":
@@ -93,8 +100,14 @@ def main():
             # forward-pipeline order A/B (module-global toggle, safe
             # in-process like PLANE_STEPPER; only BLOCK/PRECISION
             # rebuilds trip the lowering-cache bug)
-            from xlab_fftbarotropic_tpu.ops import pallas_sw
             pallas_sw.YFIRST = name.endswith("yfirst")
+            m, s = build("pallas")
+        elif name in ("planes-split", "planes-nosplit"):
+            # split-linear formulation A/B (ops/pallas_sw.py module
+            # note); pair with XFB_PALLAS_MM=default in the env for the
+            # fast-transforms accuracy/speed comparison
+            pallas_sw.SPLIT_LINEAR = ("1" if name.endswith("-split")
+                                      else "0")
             m, s = build("pallas")
         else:
             raise SystemExit(f"unknown backend {name}")

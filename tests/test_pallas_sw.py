@@ -205,6 +205,85 @@ def test_forced_step_matches_xla():
     assert np.max(np.abs(np.asarray(out_p.zeta_hat - out_p0.zeta_hat))) > 0
 
 
+def test_split_linear_matches_default(monkeypatch):
+    """The split-linear formulation (nonlinear-only products + exact
+    f0/gravity terms in COMBINE, ops/pallas_sw.py module note) is a
+    reformulation, not a new scheme: at fp32 HIGHEST it must track the
+    default pallas pipeline AND the XLA core over a 5-step scanned
+    segment at float32 round-off."""
+    from xlab_fftbarotropic_tpu.ic import makefields
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setattr(psw, "SPLIT_LINEAR", mode)
+        cfg = _cfg()
+        m = sw.ShallowWaterModel.build(cfg)
+        s = m.geostrophic_init(makefields.gaussian(cfg))
+        outs[mode] = m.segment(s, m.zero_source(), 5)
+    _assert_close_phys(outs["1"], outs["0"], _cfg().grid_shape, 1e-5)
+
+    cfg_x = _cfg(fft_backend="xla")
+    m_x = sw.ShallowWaterModel.build(cfg_x)
+    s_x = m_x.geostrophic_init(makefields.gaussian(cfg_x))
+    out_x = m_x.segment(s_x, m_x.zero_source(), 5)
+    _assert_close_phys(out_x, outs["1"], _cfg().grid_shape, 1e-5)
+
+
+def test_split_linear_mean_mode_guard(monkeypatch):
+    """curl_z(f0 u) = f0*lap*rlap*zeta_hat VANISHES at the mean mode
+    (gradients kill it), so split COMBINE must not inject f0*Z(0,0) /
+    f0*D(0,0) — exercised with a state carrying nonzero mean vorticity,
+    divergence, AND height (the gaussian IC has nonzero mean zeta)."""
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    g = cfg.grid_shape
+    rng = np.random.default_rng(5)
+
+    def fld(amp, mean):
+        return jnp.asarray(
+            (amp * rng.standard_normal(g) + mean).astype(np.float32))
+
+    s = sw.SWState(zeta_hat=fft.forward(fld(1e-4, 3e-5)),
+                   div_hat=fft.forward(fld(1e-6, 2e-6)),
+                   eta_hat=fft.forward(fld(2.0, 1.5)))
+    f0, grav, nu, H = float(cfg.f), float(cfg.gravity), float(cfg.nu), \
+        float(cfg.mean_depth)
+
+    tend = {}
+    for mode in ("0", "1"):
+        monkeypatch.setattr(psw, "SPLIT_LINEAR", mode)
+        planes = sw._state_to_planes(s)
+        es = psw.eta_pair_scale(planes)
+        u, v, zeta, eta_s = psw.inverse_quad_planes(
+            *planes, t.kx, t.ky, t.rlap, g, eta_scale=es)
+        tend[mode] = sw._planes_to_state(psw.forward_tendencies(
+            u, v, zeta, eta_s, planes, None, t.kx, t.ky, t.lap, t.mask,
+            f0, grav, nu, H, g, eta_scale=es))
+    for name in ("zeta_hat", "div_hat", "eta_hat"):
+        a = np.asarray(getattr(tend["1"], name))
+        b = np.asarray(getattr(tend["0"], name))
+        # whole-plane agreement (reformulation exact up to round-off)...
+        assert _rel(a, b) < 2e-5, name
+        # ...and the mean mode in particular (the nz guard): scale by the
+        # magnitude of the would-be spurious injection f0*|X(0,0)|
+        leak = abs(a[0, 0] - b[0, 0])
+        assert leak <= 1e-6 * max(abs(a[0, 0]), 1.0), name
+
+
+def test_split_linear_auto_follows_mm_mode(monkeypatch):
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    monkeypatch.setattr(psw, "SPLIT_LINEAR", "auto")
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "fp32")
+    assert not psw.split_linear()
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "default")
+    assert psw.split_linear()
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "bf16")
+    assert psw.split_linear()
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "bf16x3")
+    assert not psw.split_linear()   # bf16x3 is accurate — keep parity
+
+
 def test_yfirst_matches_xfirst(monkeypatch):
     """The y-first forward pipeline (KY_FWD real partial r2c along the
     halved axis + KX_FWD x c2c over hny columns) against the historical

@@ -362,7 +362,10 @@ def test_fast_transforms_flag_plumbs(tmp_path, monkeypatch):
     from xlab_fftbarotropic_tpu.cli import run as cli_run
     from xlab_fftbarotropic_tpu.ops import pallas_fft
 
-    monkeypatch.delenv("XFB_PALLAS_MM", raising=False)
+    # setenv FIRST so pytest records the pre-test state (absent) and
+    # removes the CLI's os.environ write at teardown — delenv on an
+    # absent key records nothing and the flag would leak process-wide
+    monkeypatch.setenv("XFB_PALLAS_MM", "fp32")
     monkeypatch.setattr(pallas_fft, "MM_MODE", "fp32")
     inp = tmp_path / "input"
     inp.mkdir()

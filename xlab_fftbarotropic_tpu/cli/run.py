@@ -74,8 +74,7 @@ def main(argv=None):
     if args.fast_transforms:
         import os
         os.environ["XFB_PALLAS_MM"] = "default"
-        import sys as _sys
-        mod = _sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
+        mod = sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
         if mod is not None:     # imported before the env var landed
             mod.MM_MODE = "default"
         print("# fast transforms: single-pass bf16 Pallas matmuls "

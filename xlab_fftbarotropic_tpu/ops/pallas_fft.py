@@ -903,10 +903,8 @@ def _kc_visc_kernel(ny: int, nu: float, xr_ref, xi_ref,
     ii = _dot2(fbi_ref[:], hi)
     yr = (rr - ii).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
     yi = (ri + ir).reshape(hk2 * a, m)[0:ny // 2 + 1, :].T
-    nulap = nu * lap_ref[:]
-    mask = mask_ref[:]
-    or_ref[:] = mask * (yr + nulap * zr_ref[:])
-    oi_ref[:] = mask * (yi + nulap * zi_ref[:])
+    or_ref[:], oi_ref[:] = _visc_epilogue(
+        nu, yr, yi, lap_ref[:], mask_ref[:], zr_ref[:], zi_ref[:])
 
 
 def forward_tendency(u, zx, v, zy, src, lap, mask, zr, zi, nu: float,
@@ -989,6 +987,9 @@ def _ky_adv_kernel(ny: int, u_ref, zx_ref, v_ref, zy_ref, src_ref,
 def _kx_fwd_bt_kernel(nx: int, xr_ref, xi_ref,
                       far_ref, fai_ref, twr_ref, twi_ref,
                       fbr_ref, fbi_ref, or_ref, oi_ref):
+    # single-field twin of pallas_sw._kx_fwd_kernel (which carries a
+    # leading stacked-field dim); both are thin wrappers over _four_step
+    # — change transform semantics THERE, not here
     m = xr_ref.shape[1]
     yr, yi = _four_step(xr_ref[:], xi_ref[:], nx, m, far_ref[:],
                        fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
@@ -998,12 +999,19 @@ def _kx_fwd_bt_kernel(nx: int, xr_ref, xi_ref,
     oi_ref[:] = yi
 
 
+def _visc_epilogue(nu: float, yr, yi, lap, mask, zr, zi):
+    """mask * (Y + nu*lap*Z): the viscosity + dealias tendency epilogue
+    (SURVEY §5.5-5.7) — single source shared by the x-first fused KC
+    (_kc_visc_kernel) and the y-first VISC passes below."""
+    nulap = nu * lap
+    return mask * (yr + nulap * zr), mask * (yi + nulap * zi)
+
+
 def _visc_kernel(nu: float, fr_ref, fi_ref, lap_ref, mask_ref,
                  zr_ref, zi_ref, or_ref, oi_ref):
-    nulap = nu * lap_ref[:]
-    mask = mask_ref[:]
-    or_ref[:] = mask * (fr_ref[:] + nulap * zr_ref[:])
-    oi_ref[:] = mask * (fi_ref[:] + nulap * zi_ref[:])
+    or_ref[:], oi_ref[:] = _visc_epilogue(
+        nu, fr_ref[:], fi_ref[:], lap_ref[:], mask_ref[:],
+        zr_ref[:], zi_ref[:])
 
 
 def _visc_axpy_kernel(nu: float, coef: float, fr_ref, fi_ref, lap_ref,
@@ -1013,10 +1021,9 @@ def _visc_axpy_kernel(nu: float, coef: float, fr_ref, fi_ref, lap_ref,
     stage tendency r = mask*(F + nu*lap*Z_stage) AND the next stage
     state z0 + coef*r in one HBM pass — no XLA elementwise remains
     between the forward pipeline and the next stage's derivative read."""
-    nulap = nu * lap_ref[:]
-    mask = mask_ref[:]
-    rr = mask * (fr_ref[:] + nulap * zsr_ref[:])
-    ri = mask * (fi_ref[:] + nulap * zsi_ref[:])
+    rr, ri = _visc_epilogue(
+        nu, fr_ref[:], fi_ref[:], lap_ref[:], mask_ref[:],
+        zsr_ref[:], zsi_ref[:])
     rr_ref[:] = rr
     ri_ref[:] = ri
     nr_ref[:] = z0r_ref[:] + coef * rr

@@ -76,6 +76,36 @@ from .pallas_fft import (BLOCK, _compiler_params, _four_step, _interpret,
 # _kb_call_stacked(transpose_out=False)). x-first kept for A/B.
 YFIRST = _os.environ.get("XFB_SW_YFIRST", "1") != "0"
 
+# Split-linear formulation (XFB_SW_SPLIT: auto|1|0). The SW divergence
+# equation is a near-cancellation in balanced flow: curl_z(q u) carries
+# f0*curl_z(u_vec) and lap(Phi) carries g*lap(eta), two terms ~1/Ro
+# larger than their sum. Routing them through lossy (bf16-class)
+# transforms turns transform round-off into SPURIOUS DIVERGENCE that
+# d(eta)/dt = -H*div integrates into gravity-wave noise (measured: eta
+# 7% rel-L2 after 20 steps at 4096^2 in fast-transforms mode). But the
+# linear parts never needed transforms at all — they are EXACT spectral
+# multiplies on the prognostic planes:
+#     curl_z(f0 u_vec) = f0 * lap*rlap * zeta_hat   (= f0 zeta_hat, k!=0)
+#     div   (f0 u_vec) = f0 * lap*rlap * div_hat
+#     lap(g eta)       = g * lap * eta_hat
+# (lap*rlap vanishes at the mean mode — gradients kill it — hence the
+# nonzero-k guard in COMBINE). Split mode transforms only the genuinely
+# NONLINEAR products (zeta*u, zeta*v, eta*u, eta*v, KE) and applies the
+# linear terms in COMBINE's float32 VPU pass, so the geostrophic/
+# gravity-wave balance is exact float32 regardless of the kernel matmul
+# precision. 'auto' (default) turns it on exactly when the matmuls are
+# lossy (pallas_fft.MM_MODE in bf16/default); at fp32-HIGHEST the
+# default formulation is kept so pinned checksums stay bit-identical.
+SPLIT_LINEAR = _os.environ.get("XFB_SW_SPLIT", "auto")
+
+
+def split_linear() -> bool:
+    """Resolve SPLIT_LINEAR at trace time (see module note above)."""
+    if SPLIT_LINEAR == "auto":
+        from . import pallas_fft
+        return pallas_fft.MM_MODE in ("bf16", "default")
+    return SPLIT_LINEAR not in ("0", "off", "")
+
 
 def fused_rk() -> bool:
     """Fuse the RK stage axpys into COMBINE (models/shallow_water.py:
@@ -216,7 +246,7 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
 # real-input four-step.
 # ---------------------------------------------------------------------------
 
-def _ka_fwd_kernel(n: int, f0: float, grav: float,
+def _ka_fwd_kernel(n: int, f0: float, grav: float, split: bool,
                    u_ref, v_ref, ze_ref, et_ref, ies_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    owr_ref, owi_ref):
@@ -225,12 +255,15 @@ def _ka_fwd_kernel(n: int, f0: float, grav: float,
     v = v_ref[:]
     # undo the pairing equalizer (exact: 1/power-of-two)
     eta = et_ref[:] * ies_ref[0, 0]
-    q = ze_ref[:] + f0
+    # split mode: the f0*u / g*eta linear parts ride COMBINE exactly
+    # (module note) — only the nonlinear products are transformed
+    q = ze_ref[:] if split else ze_ref[:] + f0
     # product selected by grid index — VPU selects around ONE transform
     # body (a (1, 5) one-hot table block would violate Mosaic's min-tile
     # rule; program_id comparison keeps the table out entirely)
     f = pl.program_id(0)
-    phi = grav * eta + 0.5 * (u * u + v * v)
+    ke = 0.5 * (u * u + v * v)
+    phi = ke if split else grav * eta + ke
     prod = jnp.where(
         f == 0, q * u,
         jnp.where(f == 1, q * v,
@@ -252,7 +285,7 @@ def _ka_fwd_kernel(n: int, f0: float, grav: float,
 # KA_FWD/KC_SW — only the transform order differs.
 # ---------------------------------------------------------------------------
 
-def _ky_fwd_kernel(ny: int, f0: float, grav: float,
+def _ky_fwd_kernel(ny: int, f0: float, grav: float, split: bool,
                    u_ref, v_ref, ze_ref, et_ref, ies_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
@@ -260,9 +293,11 @@ def _ky_fwd_kernel(ny: int, f0: float, grav: float,
     v = v_ref[:]
     # undo the pairing equalizer (exact: 1/power-of-two)
     eta = et_ref[:] * ies_ref[0, 0]
-    q = ze_ref[:] + f0
+    # split mode: linear parts ride COMBINE exactly (module note)
+    q = ze_ref[:] if split else ze_ref[:] + f0
     f = pl.program_id(0)
-    phi = grav * eta + 0.5 * (u * u + v * v)
+    ke = 0.5 * (u * u + v * v)
+    phi = ke if split else grav * eta + ke
     prod = jnp.where(
         f == 0, q * u,
         jnp.where(f == 1, q * v,
@@ -320,10 +355,14 @@ def _kc_sw_kernel(ny: int, xr_ref, xi_ref,
 # ---------------------------------------------------------------------------
 
 def _combine_body(nu: float, H: float, has_src: bool,
+                  split: Tuple[float, float] | None,
                   pr_ref, pi_ref, zr_ref, zi_ref, dr_ref, di_ref,
-                  sr_ref, si_ref, kx_ref, ky_ref, lap_ref, mask_ref):
+                  er_ref, ei_ref, sr_ref, si_ref,
+                  kx_ref, ky_ref, lap_ref, mask_ref):
     """The three dealiased tendency plane BLOCKS from the stacked
-    product-spectra block + state + forcing refs."""
+    product-spectra block + state + forcing refs. split=(f0, grav)
+    applies the exact linear terms the product kernels dropped
+    (module note): the products are then QU=zeta*u etc. and PHI=KE."""
     # product spectra stacked (5, BLOCK, hny): QU QV EU EV PHI
     qur, qvr, eur, evr, phr = (pr_ref[i] for i in range(5))
     qui, qvi, eui, evi, phi_ = (pi_ref[i] for i in range(5))
@@ -337,38 +376,61 @@ def _combine_body(nu: float, H: float, has_src: bool,
     # dzeta = -(ikx)QU - (iky)QV + nu lap Z (+ S_hat)
     dzr = kx * qui + ky * qvi + nulap * zr
     dzi = -kx * qur - ky * qvr + nulap * zi
+    # ddiv = (ikx)QV - (iky)QU - lap PHI + nu lap D
+    ddr = -kx * qvi + ky * qui - lap * phr + nulap * dr
+    ddi = kx * qvr - ky * qur - lap * phi_ + nulap * di
+    if split is not None:
+        f0, grav = split
+        er, ei = er_ref[:], ei_ref[:]
+        # exact linear terms: curl_z(f0 u) = f0*lap*rlap*Z and
+        # div(f0 u) = f0*lap*rlap*D vanish at the mean mode (gradients
+        # kill it) — hence the nonzero-k guard; lap(g eta) needs none
+        # (lap(0,0) = 0)
+        fz = f0 * jnp.where(lap != 0.0, 1.0, 0.0)
+        dzr = dzr - fz * dr
+        dzi = dzi - fz * di
+        ddr = ddr + fz * zr - grav * (lap * er)
+        ddi = ddi + fz * zi - grav * (lap * ei)
     if has_src:
         dzr = dzr + sr_ref[:]
         dzi = dzi + si_ref[:]
     return (mask * dzr, mask * dzi,
-            # ddiv = (ikx)QV - (iky)QU - lap PHI + nu lap D
-            mask * (-kx * qvi + ky * qui - lap * phr + nulap * dr),
-            mask * (kx * qvr - ky * qur - lap * phi_ + nulap * di),
+            mask * ddr,
+            mask * ddi,
             # deta = -(ikx)EU - (iky)EV - H D
             mask * (kx * eui + ky * evi - H * dr),
             mask * (-kx * eur - ky * evr - H * di))
 
 
-def _combine_kernel(nu: float, H: float, has_src: bool, *refs):
-    if has_src:
-        ins, outs = refs[:12], refs[12:]
-    else:
-        ins, outs = refs[:10], refs[10:]
-        ins = ins[:6] + (None, None) + ins[6:]
-    for ref, val in zip(outs, _combine_body(nu, H, has_src, *ins)):
+def _pad_combine_ins(ins, has_src: bool, split):
+    """Insert the Nones for absent (er, ei) / (sr, si) refs so
+    _combine_body always sees the full 14-ref layout."""
+    n_state = 8 if split is not None else 6
+    state, rest = ins[:n_state], ins[n_state:]
+    if split is None:
+        state = state + (None, None)
+    if not has_src:
+        rest = (None, None) + rest
+    return state + rest
+
+
+def _combine_kernel(nu: float, H: float, has_src: bool, split, *refs):
+    n_in = 10 + (2 if has_src else 0) + (2 if split is not None else 0)
+    ins, outs = refs[:n_in], refs[n_in:]
+    ins = _pad_combine_ins(ins, has_src, split)
+    for ref, val in zip(outs, _combine_body(nu, H, has_src, split, *ins)):
         ref[:] = val
 
 
-def _combine_axpy_kernel(nu: float, H: float, has_src: bool, coef: float,
-                         *refs):
+def _combine_axpy_kernel(nu: float, H: float, has_src: bool, split,
+                         coef: float, *refs):
     """COMBINE fused with the RK stage-state update: also reads the six
     BASE state planes z0 and writes next = z0 + coef * tendency — the
     separate plane_axpy pass (and its re-read of the tendency) vanishes."""
-    n_in = 12 if has_src else 10
+    n_in = 10 + (2 if has_src else 0) + (2 if split is not None else 0)
     ins, z0, outs = refs[:n_in], refs[n_in:n_in + 6], refs[n_in + 6:]
-    if not has_src:
-        ins = ins[:6] + (None, None) + ins[6:]
-    tend = _combine_body(nu, H, has_src, *ins)
+    ins = _pad_combine_ins(ins, has_src, split)
+    tend = _combine_body(nu, H, has_src, split, *ins)
     for p in range(6):
         outs[p][:] = tend[p]
         outs[6 + p][:] = z0[p][:] + coef * tend[p]
@@ -386,12 +448,15 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     and returns (tendency_planes, z0 + coef*tendency) instead.
 
     state_planes: (zr, zi, dr, di, er, ei) of the CURRENT stage state
-    (viscosity and the -H*div term use it). src_planes: (sr, si) spectrum
-    of the forcing, or None. eta is expected PRE-SCALED by eta_scale
-    (inverse_quad_planes's pairing equalizer); KA_FWD unscales in VMEM."""
+    (viscosity and the -H*div term use it; the split-linear mode's exact
+    f0/gravity terms read zr..ei in COMBINE — see split_linear()).
+    src_planes: (sr, si) spectrum of the forcing, or None. eta is
+    expected PRE-SCALED by eta_scale (inverse_quad_planes's pairing
+    equalizer); KA_FWD unscales in VMEM."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
-    zr, zi, dr, di, _er, _ei = state_planes
+    zr, zi, dr, di, er, ei = state_planes
+    split = split_linear()
 
     ies = (1.0 / jnp.asarray(eta_scale, jnp.float32)).reshape(1, 1)
     ies_spec = pl.BlockSpec((1, 1), lambda f, i: (0, 0),
@@ -411,7 +476,8 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         y_in = pl.BlockSpec((ny, BLOCK), lambda f, i: (0, i),
                             memory_space=pltpu.VMEM)
         g1r, g1i = pl.pallas_call(
-            functools.partial(_ky_fwd_kernel, ny, float(f0), float(grav)),
+            functools.partial(_ky_fwd_kernel, ny, float(f0), float(grav),
+                              split),
             grid=(5, pl.cdiv(nx, BLOCK)),
             in_specs=[y_in] * 4 + [ies_spec] + kc_tab_spec,
             out_specs=(spec_out, spec_out),
@@ -429,9 +495,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         pr, pi = pl.pallas_call(
             functools.partial(_kx_fwd_kernel, nx),
             grid=(5, pl.cdiv(hny, BLOCK)),
-            in_specs=[x_in, x_in] + [
-                pl.BlockSpec(t.shape, lambda f, j: (0, 0),
-                             memory_space=pltpu.VMEM) for t in ka_tabs],
+            in_specs=[x_in, x_in] + ka_tab_spec,
             out_specs=(x_out, x_out),
             out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
                        jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
@@ -445,7 +509,8 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
                                memory_space=pltpu.VMEM)
         f1r, f1i = pl.pallas_call(
-            functools.partial(_ka_fwd_kernel, nx, float(f0), float(grav)),
+            functools.partial(_ka_fwd_kernel, nx, float(f0), float(grav),
+                              split),
             grid=(5, pl.cdiv(ny, BLOCK)),
             in_specs=[f_in] * 4 + [ies_spec] + ka_tab_spec,
             out_specs=(ow_spec, ow_spec),
@@ -481,6 +546,10 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
                            memory_space=pltpu.VMEM)
     data = [pr, pi, zr, zi, dr, di]
     specs = [stk, stk, row, row, row, row]
+    split_params = (float(f0), float(grav)) if split else None
+    if split:
+        data += [er, ei]
+        specs += [row, row]
     if has_src:
         data += [src_planes[0], src_planes[1]]
         specs += [row, row]
@@ -490,7 +559,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     if axpy is None:
         return pl.pallas_call(
             functools.partial(_combine_kernel, float(nu), float(H),
-                              has_src),
+                              has_src, split_params),
             grid=(pl.cdiv(nx, BLOCK),),
             in_specs=specs,
             out_specs=(row,) * 6,
@@ -501,7 +570,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     z0, coef = axpy
     outs = pl.pallas_call(
         functools.partial(_combine_axpy_kernel, float(nu), float(H),
-                          has_src, float(coef)),
+                          has_src, split_params, float(coef)),
         grid=(pl.cdiv(nx, BLOCK),),
         in_specs=specs + [row] * 6,
         out_specs=(row,) * 12,
