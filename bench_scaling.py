@@ -36,7 +36,14 @@ def main():
                     choices=["xla", "pallas", "overlap"],
                     help="distributed-FFT implementation for the sharded "
                          "runs (parallel/model.py:_fft_pair)")
+    ap.add_argument("--decomp", default="slab", choices=["slab", "pencil"],
+                    help="domain decomposition: slab (1-D row mesh) or "
+                         "true 2-D pencil (parallel/pencil.py; each n is "
+                         "factored into the squarest PxQ mesh, xla "
+                         "fft-impl only)")
     args = ap.parse_args()
+    if args.decomp == "pencil" and args.fft_impl != "xla":
+        ap.error("--decomp pencil supports --fft-impl xla only")
 
     if args.force_host:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -56,6 +63,11 @@ def main():
     from xlab_fftbarotropic_tpu.parallel import (
         ShardedBarotropicModel, make_mesh)
 
+    def pencil_shape(n):
+        """Squarest P x Q with P*Q == n (P <= Q), e.g. 8 -> (2, 4)."""
+        p = max(d for d in range(1, int(n ** 0.5) + 1) if n % d == 0)
+        return (p, n // p)
+
     devices = jax.devices()
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     base_gps = None
@@ -69,6 +81,16 @@ def main():
             model = BarotropicModel.build(cfg)
             z = model.init_state(vort0)
             src = jnp.zeros(cfg.grid_shape, jnp.float32)
+        elif args.decomp == "pencil":
+            from xlab_fftbarotropic_tpu.parallel import pencil
+            shape = pencil_shape(n)
+            if nx % shape[1]:
+                continue
+            model = ShardedBarotropicModel.build(
+                cfg, pencil.make_pencil_mesh(shape, devices[:n]),
+                decomp="pencil")
+            z = model.init_state(vort0)
+            src = model.zero_source()
         else:
             model = ShardedBarotropicModel.build(cfg, make_mesh(devices[:n]),
                                                  fft_impl=args.fft_impl)
@@ -86,6 +108,7 @@ def main():
             base_gps = per_dev
         print(json.dumps({
             "devices": n, "nx": nx,
+            "decomp": args.decomp if n > 1 else "single",
             "ms_per_step": round(dt / args.steps * 1000, 3),
             "grid_points_per_s": round(gps, 1),
             "weak_efficiency": round(per_dev / base_gps, 3),
