@@ -148,3 +148,92 @@ def test_gravity_wave_cfl_warning():
         warnings.simplefilter("always")
         ShallowWaterModel.build(ok)
     assert not any("CFL" in str(x.message) for x in w)
+
+
+def test_tendency_split_linear_equivalence():
+    """tendency(split=True) — nonlinear-only products + exact spectral
+    f0/gravity terms (the per-transform twin of the plane stepper's
+    split-linear mode, ops/pallas_sw.py module note) — against a float64
+    numpy ground truth of the same contract: the split form must be at
+    least as accurate as the default per component (it removes the
+    transform round-off of the large f0*u / g*eta terms), including at
+    the mean mode, where curl_z(f0 u) and div(f0 u) vanish exactly (a
+    state with nonzero mean zeta/div/eta exposes a missing guard)."""
+    from xlab_fftbarotropic_tpu.models.shallow_water import SWState, tendency
+    from xlab_fftbarotropic_tpu.ops import fft
+    from xlab_fftbarotropic_tpu.ops.spectral import SpectralTables
+
+    cfg = ModelConfig(nx=64, ny=64)
+    t = SpectralTables.from_config(cfg)
+    g = cfg.grid_shape
+    rng = np.random.default_rng(9)
+
+    def fld(amp, mean):
+        return jnp.asarray(
+            (amp * rng.standard_normal(g) + mean).astype(np.float32))
+
+    s = SWState(zeta_hat=fft.forward(fld(1e-4, 2e-5)),
+                div_hat=fft.forward(fld(1e-6, 3e-6)),
+                eta_hat=fft.forward(fld(2.0, 1.2)))
+    f0, grav, nu, H = (float(cfg.f), float(cfg.gravity), float(cfg.nu),
+                       float(cfg.mean_depth))
+    kw = dict(f=f0, g=grav, nu=nu, mean_depth=H, grid_shape=g)
+    a = tendency(t, s, None, split=False, **kw)
+    b = tendency(t, s, None, split=True, **kw)
+
+    # ----- float64 ground truth (same f32-rounded tables, so table
+    # rounding cancels; the two f32 formulations agree in f64 to ~1e-16,
+    # far below the f32 errors measured here) -----
+    ikx = 1j * np.asarray(t.kx, np.float64)[:, None]
+    iky = 1j * np.asarray(t.ky, np.float64)[None, :]
+    lap = np.asarray(t.lap, np.float64)
+    inv_lap = np.asarray(t.inv_lap, np.float64)
+    z64 = np.asarray(s.zeta_hat).astype(np.complex128)
+    d64 = np.asarray(s.div_hat).astype(np.complex128)
+    e64 = np.asarray(s.eta_hat).astype(np.complex128)
+    psi, chi = z64 / inv_lap, d64 / inv_lap     # mean mode passthrough
+    psi[0, 0], chi[0, 0] = z64[0, 0], d64[0, 0]
+    u = np.fft.irfft2(-iky * psi + ikx * chi, s=g)   # inverse-only norm
+    v = np.fft.irfft2(ikx * psi + iky * chi, s=g)    # == numpy irfft2
+    zeta = np.fft.irfft2(z64, s=g)
+    eta = np.fft.irfft2(e64, s=g)
+    q = zeta + f0
+    qu, qv = np.fft.rfft2(q * u), np.fft.rfft2(q * v)
+    eu, ev = np.fft.rfft2(eta * u), np.fft.rfft2(eta * v)
+    phi = np.fft.rfft2(grav * eta + 0.5 * (u * u + v * v))
+    ref = {
+        "zeta_hat": -(ikx * qu + iky * qv) + nu * lap * z64,
+        "div_hat": (ikx * qv - iky * qu) - lap * phi + nu * lap * d64,
+        "eta_hat": -(ikx * eu + iky * ev) - H * d64,
+    }
+
+    # The two formulations legitimately differ OUTSIDE the dealias mask
+    # (measured: only at the Nyquist column + mean mode): the exact
+    # spectral f-term disagrees there with the transform route, whose
+    # irfft2 discards non-Hermitian Nyquist content under the
+    # positive-Nyquist gradient convention. rk4_step dealiases every
+    # stage tendency, so the dynamics only ever see the masked modes —
+    # compare those.
+    mask = np.asarray(t.mask).astype(np.float64)
+    for name in ("zeta_hat", "div_hat", "eta_hat"):
+        x = mask * np.asarray(getattr(a, name)).astype(np.complex128)
+        y = mask * np.asarray(getattr(b, name)).astype(np.complex128)
+        r = mask * ref[name]
+        err_def = np.max(np.abs(x - r))
+        err_spl = np.max(np.abs(y - r))
+        scale = np.max(np.abs(r))
+        # both formulations are correct f32 implementations: the error
+        # floor is transform round-off amplified by the spectral
+        # gradients, relative to INTERMEDIATE magnitudes (|qu_hat| etc.)
+        # that dwarf the near-cancelling output — measured ~2e-3 of the
+        # output scale for zeta; a wrong formulation would be O(1)
+        assert err_def < 1e-2 * scale, (name, err_def, scale)
+        assert err_spl < 1e-2 * scale, (name, err_spl, scale)
+        # ...and on the dealiased modes split never loses accuracy (it
+        # usually gains: the f0/g linear terms no longer ride f32
+        # transforms)
+        assert err_spl <= err_def * 1.2 + 1e-12 * scale, \
+            (name, err_spl, err_def)
+        # mean-mode guard (inside the mask): both match f64 tightly
+        assert abs(y[0, 0] - ref[name][0, 0]) <= \
+            max(1e-6 * abs(ref[name][0, 0]), 1e-8 * scale), name

@@ -82,7 +82,8 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             fwd_pair: Optional[Callable] = None) -> SWState:
+             fwd_pair: Optional[Callable] = None,
+             split: bool = False) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
 
     On the default single-device FFT path the 4 inverse transforms are
@@ -92,6 +93,14 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
     ops/fft.py:forward_pair on the XLA backend), the two flux pairs
     (qu, qv) and (eta*u, eta*v) are likewise packed into one complex
     fft2 each — 5 forward transforms per stage become 3.
+
+    split=True is the split-linear formulation (ops/pallas_sw.py module
+    note): the exactly-linear f0/gravity terms — curl_z(f0 u) = f0*Z,
+    div(f0 u) = f0*D (both zero at the mean mode), lap(g eta) = g*lap*E
+    — are applied as spectral multiplies on the state instead of riding
+    the transforms, so lossy (fast-mode bf16) transforms cannot turn
+    them into spurious divergence. build() enables it for the lossy
+    per-transform pallas path the same way the plane stepper does.
     """
     u_hat, v_hat = sw_velocities(t, s.zeta_hat, s.div_hat)
     if inv_pair is None and inv is fft.inverse:
@@ -105,7 +114,7 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         zeta = inv(s.zeta_hat, grid_shape)
         eta = inv(s.eta_hat, grid_shape)
 
-    q = zeta + f                       # absolute vorticity (f-plane)
+    q = zeta if split else zeta + f    # absolute vorticity (f-plane)
     if fwd_pair is not None:
         qu_hat, qv_hat = fwd_pair(q * u, q * v)
         eu_hat, ev_hat = fwd_pair(eta * u, eta * v)
@@ -114,8 +123,10 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         qv_hat = fwd(q * v)
         eu_hat = fwd(eta * u)
         ev_hat = fwd(eta * v)
-    # Bernoulli: g*eta + kinetic energy (pointwise, fused)
-    phi_hat = fwd(g * eta + 0.5 * (u * u + v * v))
+    # Bernoulli: g*eta + kinetic energy (pointwise, fused); split mode
+    # transforms only the KE part (g*eta is exact in spectral space)
+    ke = 0.5 * (u * u + v * v)
+    phi_hat = fwd(ke if split else g * eta + ke)
 
     dzeta = -(sp.gradx(t, qu_hat) + sp.grady(t, qv_hat)) \
         + nu * sp.laplacian(t, s.zeta_hat)
@@ -125,6 +136,12 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         - sp.laplacian(t, phi_hat) + nu * sp.laplacian(t, s.div_hat)
     deta = -(sp.gradx(t, eu_hat) + sp.grady(t, ev_hat)) \
         - mean_depth * s.div_hat
+    if split:
+        # exact linear terms; the nonzero-k factor is where curl_z/div of
+        # f*u_vec vanish (mean mode — u derives from gradients of psi/chi)
+        fz = f * jnp.where(t.lap != 0.0, 1.0, 0.0)
+        dzeta = dzeta - fz * s.div_hat
+        ddiv = ddiv + fz * s.zeta_hat - g * sp.laplacian(t, s.eta_hat)
     return SWState(zeta_hat=dzeta, div_hat=ddiv, eta_hat=deta)
 
 
@@ -142,13 +159,15 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             fwd_pair: Optional[Callable] = None) -> SWState:
+             fwd_pair: Optional[Callable] = None,
+             split: bool = False) -> SWState:
     """Classic RK4 with per-stage dealiased tendencies — the same stepping
     contract as the barotropic core (main.cpp:286-317)."""
     d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
                           mean_depth=mean_depth,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
-                          inv_pair=inv_pair, fwd_pair=fwd_pair)
+                          inv_pair=inv_pair, fwd_pair=fwd_pair,
+                          split=split)
     k1 = _dealias_state(t, d(s))
     k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
     k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
@@ -338,11 +357,22 @@ class ShallowWaterModel:
                         and os.environ.get("XFB_FORWARD_PAIR", "1") != "0"
                         else None)
 
+            # split-linear under lossy kernel matmuls, same rule as the
+            # plane stepper (ops/pallas_sw.py:split_linear); only the
+            # pallas per-transform pipeline routes matmuls through _mm —
+            # xla/mxu transforms are exact f32, so split stays off there
+            # and pinned checksums are untouched
+            if resolved == "pallas":
+                from ..ops.pallas_sw import split_linear
+                split = split_linear()
+            else:
+                split = False
+
             @jax.jit
             def step_(t, s: SWState, src):
                 return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
-                                fwd_pair=fwd_pair)
+                                fwd_pair=fwd_pair, split=split)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, s: SWState, src, n_steps: int):
@@ -350,7 +380,7 @@ class ShallowWaterModel:
                     return rk4_step(t, state, src, dt, f, grav, nu, H,
                                     g_shape, fwd=fwd, inv=inv,
                                     inv_pair=inv_pair,
-                                    fwd_pair=fwd_pair), None
+                                    fwd_pair=fwd_pair, split=split), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
 
