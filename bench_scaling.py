@@ -36,11 +36,14 @@ def main():
                     choices=["xla", "pallas", "overlap"],
                     help="distributed-FFT implementation for the sharded "
                          "runs (parallel/model.py:_fft_pair)")
-    ap.add_argument("--decomp", default="slab", choices=["slab", "pencil"],
-                    help="domain decomposition: slab (1-D row mesh) or "
-                         "true 2-D pencil (parallel/pencil.py; each n is "
-                         "factored into the squarest PxQ mesh, xla "
-                         "fft-impl only)")
+    ap.add_argument("--decomp", default="slab",
+                    choices=["slab", "xpencil", "pencil"],
+                    help="domain decomposition: slab (1-D row mesh), "
+                         "xpencil (1-D mesh, column-sharded spectral "
+                         "state — half the all_to_all traffic; any "
+                         "fft-impl), or true 2-D pencil "
+                         "(parallel/pencil.py; each n is factored into "
+                         "the squarest PxQ mesh, xla fft-impl only)")
     args = ap.parse_args()
     if args.decomp == "pencil" and args.fft_impl != "xla":
         ap.error("--decomp pencil supports --fft-impl xla only")
@@ -93,7 +96,8 @@ def main():
             src = model.zero_source()
         else:
             model = ShardedBarotropicModel.build(cfg, make_mesh(devices[:n]),
-                                                 fft_impl=args.fft_impl)
+                                                 fft_impl=args.fft_impl,
+                                                 decomp=args.decomp)
             z = model.init_state(vort0)
             src = model.zero_source()
         out = model.segment(z, src, args.steps)

@@ -60,9 +60,12 @@ def main(argv=None):
                         "Pallas DMA transposes, or the fused overlapped "
                         "transpose+DFT kernel")
     p.add_argument("--decomp", default="slab",
-                   choices=["slab", "pencil"],
+                   choices=["slab", "xpencil", "pencil"],
                    help="domain decomposition for --shard runs: slab "
-                        "(rows over a 1-D mesh, default) or true 2-D "
+                        "(rows over a 1-D mesh, default), xpencil (row-"
+                        "sharded physical + column-sharded x-pencil "
+                        "spectral state — HALF the all_to_all traffic "
+                        "of slab; all --shard-fft impls), or true 2-D "
                         "pencil (tiles over a PxQ mesh — one inter-host "
                         "collective per transform; see --mesh-shape)")
     p.add_argument("--mesh-shape", default=None, metavar="PxQ",

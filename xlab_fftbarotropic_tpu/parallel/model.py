@@ -95,6 +95,27 @@ def _fft_pair(fft_impl: str, axis, n: int):
     raise ValueError(f"unknown fft_impl: {fft_impl!r}")
 
 
+def _xpencil_setup(cfg: ModelConfig, mesh: Mesh, axis, fft_impl: str):
+    """Shared build pieces for decomp='xpencil' (parallel/xpencil.py):
+    (padded tables, fwd, inv, tspec, sspec, pspec, hpad)."""
+    from . import pencil, xpencil
+    if isinstance(axis, (tuple, list)):
+        raise ValueError("decomp='xpencil' needs a single mesh axis "
+                         "(use decomp='pencil' for 2-D meshes)")
+    n = axis_size(mesh, axis)
+    if cfg.nx % n != 0:
+        raise ValueError(
+            f"nx={cfg.nx} not divisible by mesh axis {axis!r} size {n}")
+    hny = cfg.ny // 2 + 1
+    interpret = jax.default_backend() != "tpu"
+    hpad = xpencil.hpad_for(hny, n, fft_impl, interpret)
+    t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
+    fwd, inv = xpencil.make_fft_pair(axis, n, hny, fft_impl=fft_impl,
+                                     interpret=interpret)
+    return (t, fwd, inv, xpencil.table_specs(axis),
+            xpencil.state_spec(axis), xpencil.phys_spec(axis), hpad)
+
+
 def table_specs(axis=AXIS) -> SpectralTables:
     """PartitionSpec pytree for SpectralTables: row-sharded 2-D tables,
     row-sharded kx, replicated (half-axis) ky. `axis` may be a tuple of
@@ -123,6 +144,7 @@ class ShardedBarotropicModel:
     diags: Callable
 
     decomp: str = "slab"
+    hpad: Optional[int] = None  # padded half-axis width (pencil/xpencil)
 
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
@@ -131,6 +153,7 @@ class ShardedBarotropicModel:
               decomp: str = "slab") -> "ShardedBarotropicModel":
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
+        hpad = None
         if decomp == "pencil":
             from . import pencil
             if fft_impl != "xla":
@@ -151,6 +174,9 @@ class ShardedBarotropicModel:
             sspec = pencil.state_spec(axes)    # spectral x-pencils
             pspec = pencil.phys_spec(axes)     # physical tiles
             axis = axes
+        elif decomp == "xpencil":
+            (t, fwd, inv, tspec, sspec, pspec,
+             hpad) = _xpencil_setup(cfg, mesh, axis, fft_impl)
         elif decomp == "slab":
             n = axis_size(mesh, axis)
             if cfg.nx % n != 0:
@@ -204,19 +230,20 @@ class ShardedBarotropicModel:
 
         return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
                    step=step, segment=segment, diags=diags,
-                   decomp=decomp)
+                   decomp=decomp, hpad=hpad)
 
     # ----- sharding helpers -----
-    def _hpad(self) -> int:
-        from . import pencil
-        return pencil.padded_half(self.cfg.ny // 2 + 1,
-                                  axis_size(self.mesh, self.axis))
+    def _padded(self) -> bool:
+        return self.decomp in ("pencil", "xpencil")
 
     def _spectral_sharding(self) -> NamedSharding:
         if self.decomp == "pencil":
             from . import pencil
             return NamedSharding(self.mesh,
                                  pencil.state_spec(self.axis))
+        if self.decomp == "xpencil":
+            from . import xpencil
+            return NamedSharding(self.mesh, xpencil.state_spec(self.axis))
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def _physical_sharding(self) -> NamedSharding:
@@ -226,22 +253,22 @@ class ShardedBarotropicModel:
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def shard_spectral(self, zeta_hat) -> jax.Array:
-        """Place a (nx, hny) spectral state on the mesh (pencil mode pads
-        the half axis to hpad and column-shards)."""
+        """Place a (nx, hny) spectral state on the mesh (pencil/xpencil
+        modes pad the half axis to hpad and column-shard)."""
         import numpy as np
         z = np.asarray(zeta_hat, np.complex64)
-        if self.decomp == "pencil":
+        if self._padded():
             from . import pencil
-            z = pencil.pad_spectral(z, self._hpad())
+            z = pencil.pad_spectral(z, self.hpad)
         return jax.device_put(jnp.asarray(z), self._spectral_sharding())
 
     def unshard_spectral(self, zeta_hat) -> "object":
-        """Sharded state -> host (nx, hny) ndarray (pencil pad stripped),
+        """Sharded state -> host (nx, hny) ndarray (pad stripped),
         gathered across processes when not fully addressable."""
         from . import multihost
         import numpy as np
         z = np.asarray(multihost.gather_to_host(zeta_hat))
-        if self.decomp == "pencil":
+        if self._padded():
             from . import pencil
             z = pencil.strip_spectral(z, self.cfg.ny // 2 + 1)
         return z
@@ -263,6 +290,25 @@ class ShardedBarotropicModel:
             f = shard_map(fwd, mesh=self.mesh,
                           in_specs=pencil.phys_spec(axes),
                           out_specs=pencil.state_spec(axes))
+        elif self.decomp == "xpencil":
+            from . import pencil, xpencil
+            n = axis_size(self.mesh, self.axis)
+            hny = self.cfg.ny // 2 + 1
+            fwd, _ = xpencil.make_fft_pair(self.axis, n, hny)  # xla impl
+            f = shard_map(fwd, mesh=self.mesh,
+                          in_specs=xpencil.phys_spec(self.axis),
+                          out_specs=xpencil.state_spec(self.axis))
+            z = jax.jit(f)(self.shard_physical(vort0))
+            # an overlap-impl model may pad the half axis coarser than
+            # the xla pair used here; widen device-side (the IC is a
+            # one-time cost and big device->host fetches are forbidden
+            # over the remote-TPU tunnel)
+            extra = self.hpad - pencil.padded_half(hny, n)
+            if extra:
+                z = jax.jit(
+                    lambda a: jnp.pad(a, ((0, 0), (0, extra))),
+                    out_shardings=self._spectral_sharding())(z)
+            return z
         else:
             n = axis_size(self.mesh, self.axis)
             fwd, _ = dfft.make_fft_pair(self.axis, n)
@@ -290,6 +336,7 @@ class ShardedShallowWaterModel:
     diags: Callable
 
     decomp: str = "slab"
+    hpad: Optional[int] = None  # padded half-axis width (pencil/xpencil)
 
     @classmethod
     def build(cls, cfg: ModelConfig, mesh: Mesh,
@@ -302,6 +349,7 @@ class ShardedShallowWaterModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
+        hpad = None
         if decomp == "pencil":
             from . import pencil
             if fft_impl != "xla":
@@ -322,6 +370,9 @@ class ShardedShallowWaterModel:
             spec1 = pencil.state_spec(axes)
             pspec = pencil.phys_spec(axes)
             axis = axes
+        elif decomp == "xpencil":
+            (t, fwd, inv, tspec, spec1, pspec,
+             hpad) = _xpencil_setup(cfg, mesh, axis, fft_impl)
         elif decomp == "slab":
             n = axis_size(mesh, axis)
             if cfg.nx % n != 0:
@@ -376,12 +427,18 @@ class ShardedShallowWaterModel:
 
         return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t,
                    step=step, segment=segment, diags=diags,
-                   decomp=decomp)
+                   decomp=decomp, hpad=hpad)
+
+    def _padded(self) -> bool:
+        return self.decomp in ("pencil", "xpencil")
 
     def _spectral_sharding(self) -> NamedSharding:
         if self.decomp == "pencil":
             from . import pencil
             return NamedSharding(self.mesh, pencil.state_spec(self.axis))
+        if self.decomp == "xpencil":
+            from . import xpencil
+            return NamedSharding(self.mesh, xpencil.state_spec(self.axis))
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def _physical_sharding(self) -> NamedSharding:
@@ -391,35 +448,34 @@ class ShardedShallowWaterModel:
         return NamedSharding(self.mesh, P(self.axis, None))
 
     def shard_state(self, s) -> "object":
-        if self.decomp == "pencil":
+        if self._padded():
             from . import pencil
             import numpy as np
             from ..models.shallow_water import SWState
-            hpad = pencil.padded_half(self.cfg.ny // 2 + 1,
-                                      axis_size(self.mesh, self.axis))
             s = SWState(*(jnp.asarray(
-                pencil.pad_spectral(np.asarray(a), hpad)) for a in s))
+                pencil.pad_spectral(np.asarray(a), self.hpad))
+                for a in s))
         return jax.device_put(s, self._spectral_sharding())
 
     def unshard_state(self, s):
-        """Sharded SWState -> host SWState of (nx, hny) ndarrays (pencil
-        pad stripped), gathered across processes when needed."""
+        """Sharded SWState -> host SWState of (nx, hny) ndarrays (pad
+        stripped), gathered across processes when needed."""
         from . import multihost
         import numpy as np
         from ..models.shallow_water import SWState
         arrs = [np.asarray(multihost.gather_to_host(a)) for a in s]
-        if self.decomp == "pencil":
+        if self._padded():
             from . import pencil
             hny = self.cfg.ny // 2 + 1
             arrs = [pencil.strip_spectral(a, hny) for a in arrs]
         return SWState(*arrs)
 
     def _single(self):
-        """Single-device model for IC construction. Pencil tables are
-        PADDED to hpad columns, so the single model builds its own
-        (unpadded) tables there; slab tables are shared."""
+        """Single-device model for IC construction. Pencil/xpencil
+        tables are PADDED to hpad columns, so the single model builds
+        its own (unpadded) tables there; slab tables are shared."""
         from ..models.shallow_water import ShallowWaterModel
-        tables = None if self.decomp == "pencil" else self.tables
+        tables = None if self._padded() else self.tables
         return ShallowWaterModel.build(self.cfg, tables=tables)
 
     def init_state(self, vort0, div0=None, h0=None):

@@ -137,6 +137,130 @@ def _xstage_kernel(n_shards: int, n_chunks: int, axis_name: str,
                 device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
 
 
+def _gather_kernel(n_shards: int, n_chunks: int, axis_name: str,
+                   in_ref, far_ref, fai_ref, twr_ref, twi_ref,
+                   fbr_ref, fbi_ref, out_ref, sc_in, sc_out,
+                   send1, recv1, loc):
+    """Forward HALF of _xstage_kernel for the x-pencil spectral layout
+    (parallel/xpencil.py): in (2, rows_l, hpad) y-row shard -> out
+    (2, nx, W) x-pencil with the length-nx DFT applied — the result
+    STAYS column-sharded, so the return scatter of the full kernel
+    disappears along with its all_to_all traffic. Chunk pipeline:
+    all (peer, chunk) sends start up front; per chunk wait -> DFT ->
+    local VMEM->HBM drain overlapping the next chunk's receives."""
+    p = n_shards
+    q_n = n_chunks
+    me = lax.axis_index(axis_name)
+    _, rows_l, hpad = in_ref.shape
+    w_big = hpad // p
+    w = w_big // q_n
+    nx = rows_l * p
+
+    ops1 = []
+    for k in range(p):
+        t = lax.rem(me + k, p)
+        for q in range(q_n):
+            ops1.append(pltpu.make_async_remote_copy(
+                src_ref=in_ref.at[:, :, pl.ds(t * w_big + q * w, w)],
+                dst_ref=sc_in.at[:, pl.ds(me * rows_l, rows_l),
+                                 pl.ds(q * w, w)],
+                send_sem=send1.at[k, q], recv_sem=recv1.at[k, q],
+                device_id=t,
+                device_id_type=pltpu.DeviceIdType.LOGICAL))
+    for op in ops1:
+        op.start()
+
+    ops_out = []
+    for q in range(q_n):
+        for k in range(p):
+            s = lax.rem(me - k + p, p)
+            pltpu.make_async_remote_copy(
+                src_ref=in_ref.at[:, :, pl.ds(0, w)],
+                dst_ref=sc_in.at[:, pl.ds(s * rows_l, rows_l),
+                                 pl.ds(q * w, w)],
+                send_sem=send1.at[k, q], recv_sem=recv1.at[k, q],
+                device_id=me,
+                device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
+        xr = sc_in[0, :, pl.ds(q * w, w)]
+        xi = sc_in[1, :, pl.ds(q * w, w)]
+        yr, yi = _four_step(xr, xi, nx, w, far_ref[:], fai_ref[:],
+                            twr_ref[:], twi_ref[:], fbr_ref[:],
+                            fbi_ref[:])
+        sc_out[0, :, pl.ds(q * w, w)] = yr
+        sc_out[1, :, pl.ds(q * w, w)] = yi
+        op = pltpu.make_async_copy(
+            sc_out.at[:, :, pl.ds(q * w, w)],
+            out_ref.at[:, :, pl.ds(q * w, w)],
+            loc.at[q])
+        op.start()
+        ops_out.append(op)
+
+    for op in ops1:
+        op.wait_send()
+    for op in ops_out:
+        op.wait()
+
+
+def _scatter_kernel(n_shards: int, n_chunks: int, axis_name: str,
+                    in_ref, far_ref, fai_ref, twr_ref, twi_ref,
+                    fbr_ref, fbi_ref, out_ref, sc_in, sc_out,
+                    send2, recv2, loc):
+    """Inverse HALF of _xstage_kernel for the x-pencil layout: in
+    (2, nx, W) x-pencil -> out (2, rows_l, hpad) y-row shard with the
+    length-nx (inverse-scaled) DFT applied. All chunk HBM->VMEM input
+    fetches start up front; per chunk wait -> DFT -> P remote scatter
+    DMAs, so communication for chunk q overlaps compute for q+1."""
+    p = n_shards
+    q_n = n_chunks
+    me = lax.axis_index(axis_name)
+    _, nx, w_big = in_ref.shape
+    w = w_big // q_n
+    rows_l = nx // p
+
+    ops_in = []
+    for q in range(q_n):
+        op = pltpu.make_async_copy(
+            in_ref.at[:, :, pl.ds(q * w, w)],
+            sc_in.at[:, :, pl.ds(q * w, w)],
+            loc.at[q])
+        op.start()
+        ops_in.append(op)
+
+    ops2 = []
+    for q in range(q_n):
+        ops_in[q].wait()
+        xr = sc_in[0, :, pl.ds(q * w, w)]
+        xi = sc_in[1, :, pl.ds(q * w, w)]
+        yr, yi = _four_step(xr, xi, nx, w, far_ref[:], fai_ref[:],
+                            twr_ref[:], twi_ref[:], fbr_ref[:],
+                            fbi_ref[:])
+        sc_out[0, :, pl.ds(q * w, w)] = yr
+        sc_out[1, :, pl.ds(q * w, w)] = yi
+        for k in range(p):
+            t = lax.rem(me + k, p)
+            op = pltpu.make_async_remote_copy(
+                src_ref=sc_out.at[:, pl.ds(t * rows_l, rows_l),
+                                  pl.ds(q * w, w)],
+                dst_ref=out_ref.at[:, :, pl.ds(me * w_big + q * w, w)],
+                send_sem=send2.at[k, q], recv_sem=recv2.at[k, q],
+                device_id=t,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            op.start()
+            ops2.append(op)
+
+    for op in ops2:
+        op.wait_send()
+    for q in range(q_n):
+        for k in range(p):
+            s = lax.rem(me - k + p, p)
+            pltpu.make_async_remote_copy(
+                src_ref=sc_out.at[:, pl.ds(0, rows_l), pl.ds(0, w)],
+                dst_ref=out_ref.at[:, :, pl.ds(s * w_big + q * w, w)],
+                send_sem=send2.at[k, q], recv_sem=recv2.at[k, q],
+                device_id=me,
+                device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
+
+
 def plan_chunks(hny: int, n_shards: int, n_chunks: int,
                 lane_plan: bool):
     """(hpad, chunk_count) for the x-stage pipeline.
@@ -197,6 +321,79 @@ def xstage(spec_rows: jax.Array, axis_name: str, n_shards: int,
         interpret=interpret,
     )(planes, *tables)
     return lax.complex(out[0], out[1])[:, :hny]
+
+
+def _half_call(kernel, n_shards: int, q_n: int, axis_name: str,
+               planes: jax.Array, tables, out_shape, w_big: int,
+               nx: int, interpret: bool) -> jax.Array:
+    sems = pltpu.SemaphoreType.DMA((n_shards, q_n))
+    out = pl.pallas_call(
+        functools.partial(kernel, n_shards, q_n, axis_name),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((2, nx, w_big), jnp.float32),
+                        pltpu.VMEM((2, nx, w_big), jnp.float32),
+                        sems, sems,
+                        pltpu.SemaphoreType.DMA((q_n,))],
+        compiler_params=(pltpu.CompilerParams(collective_id=0)
+                         if n_shards > 1 else pltpu.CompilerParams()),
+        interpret=interpret,
+    )(planes, *tables)
+    return lax.complex(out[0], out[1])
+
+
+def xstage_gather(spec_rows: jax.Array, axis_name: str, n_shards: int,
+                  forward: bool = True, n_chunks: int = 4,
+                  interpret: bool = False, scale: float = 1.0,
+                  lane_plan: Optional[bool] = None) -> jax.Array:
+    """shard_map-local fused transpose+DFT (gather half of `xstage`).
+
+    spec_rows: local (nx/P, hny) complex64 y-row shard -> local
+    (nx, hpad/P) complex64 x-pencil with the length-nx DFT applied.
+    Equivalent to fft(dfft.transpose_to_columns(.), axis=0) — the
+    output stays COLUMN-sharded (parallel/xpencil.py layout), so only
+    one transpose's traffic moves per transform."""
+    rows_l, hny = spec_rows.shape
+    nx = rows_l * n_shards
+    if lane_plan is None:
+        lane_plan = not interpret
+    hpad, q_n = plan_chunks(hny, n_shards, n_chunks, lane_plan)
+    if hpad != hny:
+        spec_rows = jnp.pad(spec_rows, ((0, 0), (0, hpad - hny)))
+    planes = jnp.stack([jnp.real(spec_rows), jnp.imag(spec_rows)])
+    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward, scale)]
+    w_big = hpad // n_shards
+    return _half_call(_gather_kernel, n_shards, q_n, axis_name, planes,
+                      tables, (2, nx, w_big), w_big, nx, interpret)
+
+
+def xstage_scatter(spec_cols: jax.Array, axis_name: str, n_shards: int,
+                   hny: int, forward: bool = False,
+                   n_chunks: int = 4, interpret: bool = False,
+                   scale: float = 1.0,
+                   lane_plan: Optional[bool] = None) -> jax.Array:
+    """shard_map-local fused DFT+transpose (scatter half of `xstage`).
+
+    spec_cols: local (nx, hpad/P) complex64 x-pencil -> local
+    (nx/P, hny) complex64 y-row shard (pad stripped) with the
+    length-nx DFT applied. Equivalent to
+    dfft.transpose_to_rows(fft(., axis=0))."""
+    nx, w_big = spec_cols.shape
+    if lane_plan is None:
+        lane_plan = not interpret
+    hpad, q_n = plan_chunks(hny, n_shards, n_chunks, lane_plan)
+    if w_big * n_shards != hpad:
+        raise ValueError(
+            f"x-pencil width {w_big} inconsistent with chunk plan "
+            f"hpad={hpad} over {n_shards} shards")
+    planes = jnp.stack([jnp.real(spec_cols), jnp.imag(spec_cols)])
+    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward, scale)]
+    rows_l = nx // n_shards
+    out = _half_call(_scatter_kernel, n_shards, q_n, axis_name, planes,
+                     tables, (2, rows_l, hpad), w_big, nx, interpret)
+    return out[:, :hny]
 
 
 def rfft2_local(field: jax.Array, axis_name: str, n_shards: int,
