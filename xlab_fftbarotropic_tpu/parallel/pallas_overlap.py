@@ -34,6 +34,14 @@ virtual CPU mesh against the unfused dfft.py path
 mesh) with a trajectory bit-identical to the XLA-collective path; real
 multi-chip hardware is not available in this environment (BASELINE.md),
 so cross-chip timing awaits a pod.
+
+For the x-pencil spectral layout (parallel/xpencil.py — the state stays
+column-sharded, so each transform needs only ONE transpose) the kernel
+splits into its two halves: `xstage_gather` (phase-1 receives pipelined
+with the DFT, output drained by local VMEM->HBM copies) and
+`xstage_scatter` (local HBM->VMEM chunk fetches pipelined with the DFT
+and the phase-2 scatter DMAs). Same chunk plan, same semaphore
+protocol, half the collective traffic.
 """
 
 from __future__ import annotations
