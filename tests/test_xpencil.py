@@ -176,6 +176,80 @@ def test_xpencil_diags_match_single(mesh):
                                    rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+def test_gather_kernel_matches_global_fft(mesh, rng, n_chunks):
+    """xstage_gather == fft(transpose_to_columns(.), axis=0): the
+    forward half of the overlap kernel, output column-sharded."""
+    from xlab_fftbarotropic_tpu.parallel import pallas_overlap as po
+    n = mesh.shape["x"]
+    s = (rng.randn(64, 33) + 1j * rng.randn(64, 33)).astype(np.complex64)
+    ours = jax.jit(shard_map(
+        lambda a: po.xstage_gather(a, "x", n, forward=True,
+                                   n_chunks=n_chunks, interpret=True),
+        mesh=mesh, in_specs=P("x", None), out_specs=P(None, "x"),
+        check_vma=False))
+    got = np.asarray(ours(jnp.asarray(s)))
+    hpad = got.shape[1]
+    ref = np.fft.fft(np.pad(s, ((0, 0), (0, hpad - 33))),
+                     axis=0).astype(np.complex64)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+def test_scatter_kernel_matches_global_ifft(mesh, rng, n_chunks):
+    """xstage_scatter == transpose_to_rows(ifft(.)): the inverse half,
+    input column-sharded, pad stripped on return."""
+    from xlab_fftbarotropic_tpu.parallel import pallas_overlap as po
+    n = mesh.shape["x"]
+    hny = 33
+    hpad = -(-hny // (n * n_chunks)) * (n * n_chunks)
+    s = (rng.randn(64, hny)
+         + 1j * rng.randn(64, hny)).astype(np.complex64)
+    padded = np.pad(s, ((0, 0), (0, hpad - hny)))
+    ours = jax.jit(shard_map(
+        lambda a: po.xstage_scatter(a, "x", n, hny=hny, forward=False,
+                                    n_chunks=n_chunks, interpret=True,
+                                    scale=1.0 / 64),
+        mesh=mesh, in_specs=P(None, "x"), out_specs=P("x", None),
+        check_vma=False))
+    got = np.asarray(ours(jnp.asarray(padded)))
+    ref = np.fft.ifft(s, axis=0).astype(np.complex64)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_gather_scatter_hardware_chunk_geometry(mesh, rng):
+    """The EXACT hardware chunk plan (fixed 128-lane slots, half axis
+    padded to P*128) through both halves in interpret mode at P=8:
+    hny=1025 -> hpad=2048, 2 chunks per shard — pod geometry."""
+    from xlab_fftbarotropic_tpu.parallel import pallas_overlap as po
+    n = mesh.shape["x"]
+    hny = 1025
+    s = (rng.randn(64, hny)
+         + 1j * rng.randn(64, hny)).astype(np.complex64)
+    run = jax.jit(shard_map(
+        lambda a: po.xstage_scatter(
+            po.xstage_gather(a, "x", n, forward=True, interpret=True,
+                             lane_plan=True),
+            "x", n, hny=hny, forward=False, interpret=True,
+            lane_plan=True, scale=1.0 / 64),
+        mesh=mesh, in_specs=P("x", None), out_specs=P("x", None),
+        check_vma=False))
+    got = np.asarray(run(jnp.asarray(s)))
+    np.testing.assert_allclose(got, s, rtol=3e-5, atol=3e-4)
+
+
+def test_scatter_width_mismatch_raises(mesh):
+    from xlab_fftbarotropic_tpu.parallel import pallas_overlap as po
+    n = mesh.shape["x"]
+    bad = jnp.zeros((64, 16), jnp.complex64)  # 16 != plan hpad (64)
+    with pytest.raises(ValueError, match="inconsistent"):
+        jax.jit(shard_map(
+            lambda a: po.xstage_scatter(a, "x", n, hny=33,
+                                        interpret=True),
+            mesh=mesh, in_specs=P(None, "x"), out_specs=P("x", None),
+            check_vma=False))(bad)
+
+
 def test_xpencil_validation_errors(mesh):
     with pytest.raises(ValueError, match="single mesh axis"):
         pmodel._xpencil_setup(ModelConfig(nx=64, ny=64), mesh,
