@@ -21,6 +21,15 @@ parallelism at all: serial FFTW plans, /root/reference/src/main.cpp:126-135).
 Physical-space fields stay row-sharded, so the advection products, the
 forcing ingest, and field I/O are unchanged from the slab path.
 
+Relation to the 2-D pencil path (parallel/pencil.py): the x-pencil
+SPECTRAL layout is the same; this module runs it on a 1-D mesh where
+remote-DMA kernels are usable. Under a 2-axis shard_map, Pallas
+dma_start currently supports neither LOGICAL nor MESH device ids in
+interpret mode (jax mosaic primitives dma_start_partial_discharge_rule
+raises NotImplementedError for >1 named mesh dimension — probed
+2026-08-18), so the 2-D pencil keeps XLA collectives and the
+overlapped-kernel story lives here on the flattened axis.
+
 Three transform implementations, mirroring the slab fft_impl choices:
   'xla'     — jax.lax.all_to_all transpose (dfft.py machinery)
   'pallas'  — explicit DMA all-to-all (pallas_transpose.py kernels)
