@@ -50,6 +50,10 @@ def main(argv=None):
                         "the float32 default keeps reference parity "
                         "(<1e-6). TPU-only effect (CPU interpret always "
                         "runs f32).")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the whole run "
+                        "into DIR (view with TensorBoard's profile "
+                        "plugin)")
     p.add_argument("--shard", action="store_true",
                    help="shard the run over ALL local devices "
                         "(slab decomposition; barotropic and sw only)")
@@ -131,13 +135,21 @@ def main(argv=None):
                     f"{args.mesh_shape!r}")
 
     from ..runner import run
-    result = run(cfg, recipe=recipe, src_path=src_path,
-                 record=not args.no_record, manifest_path=args.manifest,
-                 progress=True, resume_from=args.resume_from,
-                 model_kind=args.model, shard=args.shard,
-                 shard_fft=args.shard_fft, decomp=args.decomp,
-                 mesh_shape=mesh_shape,
-                 debug_fields=args.debug_fields)
+
+    import contextlib
+    scope = contextlib.nullcontext()
+    if args.profile_dir:
+        from ..utils.profiling import trace
+        scope = trace(args.profile_dir)
+    with scope:
+        result = run(cfg, recipe=recipe, src_path=src_path,
+                     record=not args.no_record,
+                     manifest_path=args.manifest,
+                     progress=True, resume_from=args.resume_from,
+                     model_kind=args.model, shard=args.shard,
+                     shard_fft=args.shard_fft, decomp=args.decomp,
+                     mesh_shape=mesh_shape,
+                     debug_fields=args.debug_fields)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "
