@@ -380,3 +380,24 @@ def test_fast_transforms_flag_plumbs(tmp_path, monkeypatch):
     assert os.environ.get("XFB_PALLAS_MM") == "default"
     assert pallas_fft.MM_MODE == "default"
     assert (tmp_path / "out" / "vort_step_2.bin").exists()
+
+
+def test_profile_dir_flag_writes_trace(tmp_path):
+    """xfb-run --profile-dir wraps the run in a jax.profiler trace scope
+    and leaves a TensorBoard profile-plugin directory behind."""
+    from xlab_fftbarotropic_tpu.cli import run as cli_run
+
+    inp = tmp_path / "input"
+    inp.mkdir()
+    cfg = ModelConfig(nx=32, ny=32, input_dir=str(inp),
+                      output_dir=str(tmp_path / "out"))
+    write_field(str(inp / "initial_vorticity.bin"),
+                np.asarray(makefields.gaussian(cfg)))
+    trace_dir = tmp_path / "trace"
+    cli_run.main(["-I", str(inp), "-O", str(tmp_path / "out"),
+                  "--nx", "32", "--ny", "32", "--total-steps", "2",
+                  "--record-step", "2", "--cpu",
+                  "--profile-dir", str(trace_dir),
+                  "--manifest", str(tmp_path / "log")])
+    prof = trace_dir / "plugins" / "profile"
+    assert prof.is_dir() and any(prof.iterdir())
