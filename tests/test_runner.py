@@ -277,6 +277,14 @@ def test_runner_sharded_matches_single(tmp_path):
     a = read_field(tmp_path / "a" / "vort_step_5.bin", cfg.grid_shape)
     b = read_field(tmp_path / "b" / "vort_step_5.bin", cfg.grid_shape)
     np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * np.abs(a).max())
+    # x-pencil decomposition end-to-end through the runner: the padded
+    # column-sharded state must record identically (pad never observed)
+    r3 = runner.run(cfg.replace(output_dir=str(tmp_path / "c")),
+                    vort0=vort0, manifest_path=str(tmp_path / "lc"),
+                    shard=True, decomp="xpencil", collect_stats=False)
+    assert r3.steps_run == 10
+    c = read_field(tmp_path / "c" / "vort_step_5.bin", cfg.grid_shape)
+    np.testing.assert_allclose(c, a, rtol=0, atol=5e-5 * np.abs(a).max())
 
 
 class TestDebugFields:
