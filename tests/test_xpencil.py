@@ -250,10 +250,33 @@ def test_scatter_width_mismatch_raises(mesh):
             check_vma=False))(bad)
 
 
+def test_xpencil_2d_mesh_multihost_layout():
+    """Flattened ('host','chip') x-pencil with XLA collectives matches
+    the single-device model — the multi-host halved-traffic layout on a
+    virtual 2x4 mesh (tuple-axis all_to_all decomposes hierarchically,
+    intra-host stage on ICI)."""
+    from xlab_fftbarotropic_tpu.parallel import make_mesh2d
+    cfg = ModelConfig(nx=64, ny=64)
+    vort0 = makefields.gaussian(cfg)
+    mesh2 = make_mesh2d((2, 4))
+    multi2 = ShardedBarotropicModel.build(cfg, mesh2,
+                                          axis=("host", "chip"),
+                                          decomp="xpencil")
+    single = BarotropicModel.build(cfg)
+    z2 = multi2.segment(multi2.init_state(vort0),
+                        multi2.zero_source(), 3)
+    z1 = single.segment(single.init_state(vort0),
+                        single.zero_source(), 3)
+    scale = max(1e-30, float(jnp.max(jnp.abs(z1))))
+    np.testing.assert_allclose(
+        multi2.unshard_spectral(z2) / scale, np.asarray(z1) / scale,
+        rtol=0, atol=5e-5)
+
+
 def test_xpencil_validation_errors(mesh):
     with pytest.raises(ValueError, match="single mesh axis"):
         pmodel._xpencil_setup(ModelConfig(nx=64, ny=64), mesh,
-                              ("a", "b"), "xla")
+                              ("a", "b"), "overlap")
     with pytest.raises(ValueError, match="not divisible"):
         ShardedBarotropicModel.build(ModelConfig(nx=60, ny=64), mesh,
                                      decomp="xpencil")

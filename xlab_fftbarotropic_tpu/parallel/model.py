@@ -99,9 +99,12 @@ def _xpencil_setup(cfg: ModelConfig, mesh: Mesh, axis, fft_impl: str):
     """Shared build pieces for decomp='xpencil' (parallel/xpencil.py):
     (padded tables, fwd, inv, tspec, sspec, pspec, hpad)."""
     from . import pencil, xpencil
-    if isinstance(axis, (tuple, list)):
-        raise ValueError("decomp='xpencil' needs a single mesh axis "
-                         "(use decomp='pencil' for 2-D meshes)")
+    if isinstance(axis, (tuple, list)) and fft_impl != "xla":
+        # the DMA kernels address peers along ONE named axis
+        raise ValueError(
+            "decomp='xpencil' supports a flattened multi-axis mesh only "
+            "with fft_impl='xla' (the Pallas DMA kernels need a single "
+            "mesh axis); use a 1-D mesh or fft_impl='xla'")
     n = axis_size(mesh, axis)
     if cfg.nx % n != 0:
         raise ValueError(
