@@ -300,3 +300,52 @@ def test_yfirst_matches_xfirst(monkeypatch):
         s = m.geostrophic_init(makefields.gaussian(cfg))
         outs[yfirst] = m.segment(s, m.zero_source(), 5)
     _assert_close_phys(outs[True], outs[False], _cfg().grid_shape, 1e-5)
+
+
+def test_bf16_transforms_corrupt_sw_balance_asymmetrically(monkeypatch):
+    """Why --fast-transforms warns for SW, reproduced off-hardware:
+    MM_MODE='bf16' casts the kernel matmul operands to bfloat16 for
+    real even under CPU interpret (unlike 'default', whose DEFAULT-
+    precision dots run full f32 on CPU). The lossy transforms hit the
+    three prognostics ASYMMETRICALLY: zeta (advected quantity, errors
+    stay relative to its own scale) holds ~2e-4, while div — the
+    near-zero residual of cancelling zeta/eta-scale terms — is
+    destroyed outright and d(eta)/dt = -H div integrates the noise
+    into eta (measured here: div O(0.5), eta ~1e-2 at 20 steps; on
+    hardware at 4096^2, eta 7%, BASELINE.md).
+
+    NOTE the split-linear mode does NOT rescue this small-grid regime:
+    with ~4e-3 operand rounding the nonlinear-flux and u,v inverse-
+    transform errors swamp the exact-linear-term saving (measured:
+    split ~= nosplit here). Its target regime is the hardware one —
+    tiny per-transform error but k^2-amplified g*lap(eta) dominance at
+    4096^2 — so split efficacy is pinned by the hardware A/B
+    (scripts/bench_sw_ab.py planes-split/planes-nosplit rows), not by
+    this test."""
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    cfg_x = _cfg(fft_backend="xla")
+    m_x = sw.ShallowWaterModel.build(cfg_x)
+    s_x = m_x.geostrophic_init(makefields.gaussian(cfg_x))
+    ref = m_x.segment(s_x, m_x.zero_source(), 20)
+    g = cfg_x.grid_shape
+
+    def phys(state):
+        return {k: np.asarray(jnp.fft.irfft2(getattr(state, k), s=g))
+                for k in ("zeta_hat", "div_hat", "eta_hat")}
+
+    refp = phys(ref)
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "bf16")
+    cfg = _cfg()
+    m = sw.ShallowWaterModel.build(cfg)
+    s = m.geostrophic_init(makefields.gaussian(cfg))
+    outp = phys(m.segment(s, m.zero_source(), 20))
+    err = {k: np.linalg.norm(outp[k] - refp[k])
+           / max(np.linalg.norm(refp[k]), 1e-30) for k in refp}
+    # zeta: bf16-transform class, relative to its own dynamics
+    assert err["zeta_hat"] < 2e-3, err
+    # div: destroyed (the balance residual has no scale of its own)
+    assert err["div_hat"] > 0.05, err
+    # eta: integrates the div noise — an order above zeta's error
+    assert err["eta_hat"] > 5 * err["zeta_hat"], err
