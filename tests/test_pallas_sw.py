@@ -319,9 +319,9 @@ def test_bf16_transforms_corrupt_sw_balance_asymmetrically(monkeypatch):
     transform errors swamp the exact-linear-term saving (measured:
     split ~= nosplit here). Its target regime is the hardware one —
     tiny per-transform error but k^2-amplified g*lap(eta) dominance at
-    4096^2 — so split efficacy is pinned by the hardware A/B
-    (scripts/bench_sw_ab.py planes-split/planes-nosplit rows), not by
-    this test."""
+    4096^2 — and the hardware A/B (scripts/bench_sw_ab.py, 2026-08-18,
+    BASELINE.md) confirmed exactly that split: eta 7.0e-2 -> 4.3e-4,
+    zeta 2.3e-4 -> 5.5e-5 at 41.5 ms/step (1.94x fp32)."""
     from xlab_fftbarotropic_tpu.ic import makefields
     from xlab_fftbarotropic_tpu.ops import pallas_fft
 

@@ -88,11 +88,15 @@ def main(argv=None):
               "(barotropic 30-step rel-L2 2.5e-5; reference parity "
               "needs the float32 default)", file=sys.stderr)
         if args.model in ("shallow-water", "sw"):
-            print("# WARNING: --fast-transforms corrupts shallow-water "
-                  "balance — bf16-class round-off in the near-cancelling "
-                  "divergence terms integrates into gravity-wave noise "
-                  "(measured eta rel-L2 7% after 20 steps at 4096^2, "
-                  "BASELINE.md). Use it for barotropic runs only.",
+            print("# NOTE: shallow-water fast mode runs the split-linear "
+                  "formulation (XFB_SW_SPLIT=auto): the f0/gravity balance "
+                  "terms stay exact float32, only the nonlinear fluxes ride "
+                  "the bf16 transforms. Measured at 4096^2/20 steps: "
+                  "41.5 ms/step (1.94x fp32), zeta rel-L2 5.5e-5, eta "
+                  "4.3e-4 (BASELINE.md 2026-08-18). The recorded div field "
+                  "is noise-dominated RELATIVE to a balanced flow's "
+                  "near-zero divergence — use the float32 default if div "
+                  "itself is the diagnostic of interest.",
                   file=sys.stderr)
 
     if args.cpu:

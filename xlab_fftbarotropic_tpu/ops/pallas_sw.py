@@ -96,6 +96,10 @@ YFIRST = _os.environ.get("XFB_SW_YFIRST", "1") != "0"
 # precision. 'auto' (default) turns it on exactly when the matmuls are
 # lossy (pallas_fft.MM_MODE in bf16/default); at fp32-HIGHEST the
 # default formulation is kept so pinned checksums stay bit-identical.
+# Hardware A/B at 4096² (2026-08-18, BASELINE.md): under MM=default the
+# split cuts the 20-step eta corruption 164x (7.0e-2 -> 4.3e-4; zeta
+# 2.3e-4 -> 5.5e-5) at identical speed — 41.5 ms/step, 1.94x the fp32
+# plane stepper — which is why 'auto' ships as the default.
 SPLIT_LINEAR = _os.environ.get("XFB_SW_SPLIT", "auto")
 
 
