@@ -22,9 +22,21 @@ def main(argv=None):
         description="Barotropic vorticity model run (TPU-native)")
     add_config_args(p)
     p.add_argument("-m", "--model", default="barotropic",
-                   choices=["barotropic", "bt", "shallow-water", "sw", "fd", "jacobian"],
+                   choices=["barotropic", "bt", "shallow-water", "sw",
+                            "fd", "jacobian", "tracer"],
                    help="model family: barotropic vorticity (reference "
-                        "parity) or rotating shallow water (new)")
+                        "parity), rotating shallow water (new), fd "
+                        "cross-check core, or tracer (barotropic + "
+                        "co-advected passive scalar q, recorded as "
+                        "q_step_N.bin — feeds the Nakamura "
+                        "effective-diffusivity diagnostic)")
+    p.add_argument("--tracer-ic", default="vorticity",
+                   choices=["vorticity", "zonal", "meridional", "gaussian"],
+                   help="tracer initial condition for -m tracer "
+                        "(models/tracer.py:tracer_ic)")
+    p.add_argument("--tracer-kappa", type=float, default=0.0,
+                   help="tracer diffusivity kappa [m^2/s] for -m tracer "
+                        "(0 = purely advective)")
     p.add_argument("-s", "--script", default=None, metavar="RECIPE",
                    help="vorticity-source script file "
                         "(lines: '<time> <field.bin>')")
@@ -153,7 +165,9 @@ def main(argv=None):
                      model_kind=args.model, shard=args.shard,
                      shard_fft=args.shard_fft, decomp=args.decomp,
                      mesh_shape=mesh_shape,
-                     debug_fields=args.debug_fields)
+                     debug_fields=args.debug_fields,
+                     tracer_kappa=args.tracer_kappa,
+                     tracer_ic=args.tracer_ic)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

@@ -1,2 +1,3 @@
 from .barotropic import BarotropicModel
 from .shallow_water import ShallowWaterModel, SWState
+from .tracer import TracerModel, TracerState

@@ -154,6 +154,51 @@ class _ShallowWaterAdapter:
         return st
 
 
+class _TracerAdapter:
+    """Passive-tracer family (models/tracer.py): barotropic dynamics plus
+    a co-advected scalar q with its own diffusivity — records q_step_N.bin
+    alongside the reference field set, feeding the Nakamura
+    effective-diffusivity diagnostic with a real tracer."""
+
+    kind = "tracer"
+
+    def __init__(self, cfg, model=None, kappa=0.0, ic="vorticity"):
+        from .models.tracer import TracerModel
+        self.cfg = cfg
+        self.ic = ic
+        self.model = model or TracerModel.build(cfg, kappa=kappa)
+
+    def init_from_physical(self, vort0):
+        from .models.tracer import tracer_ic
+        q0 = tracer_ic(self.cfg, self.ic, vort0)
+        return self.model.init_state(vort0, q0)
+
+    def step(self, state, src):
+        return self.model.step(state, src)
+
+    def segment(self, state, src, n):
+        return self.model.segment(state, src, n)
+
+    def record_fields(self, state):
+        d = self.model.diags(state)
+        return dict(vort=_np(d.vort), psi=_np(d.psi),
+                    u=_np(d.u), v=_np(d.v), q=_np(d.q))
+
+    def stats(self, state):
+        s = self.model.stats(state)
+        return dict(max_abs_vort=float(s.max_abs_vort),
+                    energy=float(s.energy),
+                    enstrophy=float(s.enstrophy), cfl=float(s.cfl),
+                    q_mean=float(s.q_mean), q_var=float(s.q_var))
+
+    def pack(self, state):
+        return np.stack([_np(a) for a in state])
+
+    def unpack(self, packed):
+        from .models.tracer import TracerState
+        return TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+
+
 class _FDAdapter:
     """Finite-difference cross-check core (models/fd_core.py): state is
     (physical zeta, carried psi)."""
@@ -198,7 +243,8 @@ class _FDAdapter:
 def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
                  model=None, shard: bool = False,
                  shard_fft: str = "xla", decomp: str = "slab",
-                 mesh_shape=None):
+                 mesh_shape=None, tracer_kappa: float = 0.0,
+                 tracer_ic: str = "vorticity"):
     if shard and model is None:
         from .parallel import (ShardedBarotropicModel,
                                ShardedShallowWaterModel, make_mesh)
@@ -228,6 +274,9 @@ def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
         return _ShallowWaterAdapter(cfg, model)
     if model_kind in ("fd", "jacobian"):
         return _FDAdapter(cfg, model)
+    if model_kind == "tracer":
+        return _TracerAdapter(cfg, model, kappa=tracer_kappa,
+                              ic=tracer_ic)
     raise ValueError(f"unknown model kind {model_kind!r}")
 
 
@@ -247,7 +296,9 @@ def run(cfg: ModelConfig,
         mesh_shape=None,
         collect_stats: bool = True,
         check_finite: bool = True,
-        debug_fields: bool = False) -> RunResult:
+        debug_fields: bool = False,
+        tracer_kappa: float = 0.0,
+        tracer_ic: str = "vorticity") -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -268,7 +319,8 @@ def run(cfg: ModelConfig,
     """
     adapter = make_adapter(cfg, model_kind, model, shard=shard,
                            shard_fft=shard_fft, decomp=decomp,
-                           mesh_shape=mesh_shape)
+                           mesh_shape=mesh_shape, tracer_kappa=tracer_kappa,
+                           tracer_ic=tracer_ic)
     if debug_fields and not hasattr(adapter, "debug_record_fields"):
         raise ValueError(
             f"--debug-fields is not supported for model kind {model_kind!r}")
