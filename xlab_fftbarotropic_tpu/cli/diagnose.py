@@ -38,8 +38,11 @@ def main(argv=None):
     add_config_args(ap)
     ap.add_argument("-d", "--diagnostic", action="append", required=True,
                     choices=["filamentation", "okubo-weiss", "deformation",
-                             "eddy-diffusivity"],
-                    help="may be given multiple times")
+                             "eddy-diffusivity", "spectrum"],
+                    help="may be given multiple times; 'spectrum' writes "
+                         "a 3-column text file (k [1/m], E(k), Z(k) — "
+                         "isotropic shell-averaged energy/enstrophy, "
+                         "diagnostics/spectra.py) instead of a .bin field")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
     t = SpectralTables.from_config(cfg)
@@ -59,6 +62,17 @@ def main(argv=None):
         stem = Path(path).name
         step = stem.rsplit("_", 1)[-1].replace(".bin", "")
         for d in args.diagnostic:
+            if d == "spectrum":
+                from ..diagnostics.spectra import energy_enstrophy_spectrum
+                sp_ = energy_enstrophy_spectrum(t, zeta_hat, cfg)
+                out = outdir / f"spectrum_step_{step}.txt"
+                np.savetxt(out, np.column_stack([np.asarray(sp_.k),
+                                                 np.asarray(sp_.energy),
+                                                 np.asarray(sp_.enstrophy)]),
+                           header="k[1/m] E(k) Z(k)")
+                print(f"{d} {path} -> {out} "
+                      f"summary={float(np.asarray(sp_.energy).sum()):.6e}")
+                continue
             if d == "filamentation":
                 field = np.asarray(kin.filamentation_time(
                     t, zeta_hat, cfg.grid_shape))
