@@ -14,6 +14,7 @@ from .model import (  # noqa: F401
     make_mesh2d,
     ShardedBarotropicModel,
     ShardedShallowWaterModel,
+    ShardedTracerModel,
     make_mesh,
     table_specs,
 )

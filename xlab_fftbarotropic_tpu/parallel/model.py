@@ -119,6 +119,48 @@ def _xpencil_setup(cfg: ModelConfig, mesh: Mesh, axis, fft_impl: str):
             xpencil.state_spec(axis), xpencil.phys_spec(axis), hpad)
 
 
+def _decomp_setup(cfg: ModelConfig, mesh: Mesh, axis, fft_impl: str,
+                  decomp: str):
+    """Shared build pieces for every sharded family:
+    (tables, fwd, inv, tspec, spec1, pspec, hpad, axis) where spec1 is
+    the per-array spectral PartitionSpec (pencil/xpencil modes pad the
+    half axis to hpad and column-shard)."""
+    if decomp == "pencil":
+        from . import pencil
+        if fft_impl != "xla":
+            raise ValueError(
+                "decomp='pencil' currently supports fft_impl='xla' "
+                "only (the Pallas DMA kernels are slab-specific)")
+        axes = tuple(mesh.axis_names)
+        if len(axes) != 2:
+            raise ValueError(
+                f"decomp='pencil' needs a 2-D mesh, got axes {axes}")
+        pxn, pyn = mesh.shape[axes[0]], mesh.shape[axes[1]]
+        pencil.check_grid(cfg.nx, cfg.ny, pxn, pyn)
+        hny = cfg.ny // 2 + 1
+        hpad = pencil.padded_half(hny, pxn * pyn)
+        t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
+        fwd, inv = pencil.make_fft_pair(axes, (pxn, pyn), hny)
+        return (t, fwd, inv, pencil.table_specs(axes),
+                pencil.state_spec(axes), pencil.phys_spec(axes), hpad,
+                axes)
+    if decomp == "xpencil":
+        (t, fwd, inv, tspec, spec1, pspec,
+         hpad) = _xpencil_setup(cfg, mesh, axis, fft_impl)
+        return t, fwd, inv, tspec, spec1, pspec, hpad, axis
+    if decomp == "slab":
+        n = axis_size(mesh, axis)
+        if cfg.nx % n != 0:
+            raise ValueError(
+                f"nx={cfg.nx} not divisible by mesh axis {axis!r} "
+                f"size {n}")
+        t = SpectralTables.from_config(cfg)
+        fwd, inv = _fft_pair(fft_impl, axis, n)
+        return (t, fwd, inv, table_specs(axis), P(axis, None),
+                P(axis, None), None, axis)
+    raise ValueError(f"unknown decomp: {decomp!r}")
+
+
 def table_specs(axis=AXIS) -> SpectralTables:
     """PartitionSpec pytree for SpectralTables: row-sharded 2-D tables,
     row-sharded kx, replicated (half-axis) ky. `axis` may be a tuple of
@@ -156,42 +198,8 @@ class ShardedBarotropicModel:
               decomp: str = "slab") -> "ShardedBarotropicModel":
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
-        hpad = None
-        if decomp == "pencil":
-            from . import pencil
-            if fft_impl != "xla":
-                raise ValueError(
-                    "decomp='pencil' currently supports fft_impl='xla' "
-                    "only (the Pallas DMA kernels are slab-specific)")
-            axes = tuple(mesh.axis_names)
-            if len(axes) != 2:
-                raise ValueError(
-                    f"decomp='pencil' needs a 2-D mesh, got axes {axes}")
-            pxn, pyn = mesh.shape[axes[0]], mesh.shape[axes[1]]
-            pencil.check_grid(cfg.nx, cfg.ny, pxn, pyn)
-            hny = cfg.ny // 2 + 1
-            hpad = pencil.padded_half(hny, pxn * pyn)
-            t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
-            fwd, inv = pencil.make_fft_pair(axes, (pxn, pyn), hny)
-            tspec = pencil.table_specs(axes)
-            sspec = pencil.state_spec(axes)    # spectral x-pencils
-            pspec = pencil.phys_spec(axes)     # physical tiles
-            axis = axes
-        elif decomp == "xpencil":
-            (t, fwd, inv, tspec, sspec, pspec,
-             hpad) = _xpencil_setup(cfg, mesh, axis, fft_impl)
-        elif decomp == "slab":
-            n = axis_size(mesh, axis)
-            if cfg.nx % n != 0:
-                raise ValueError(
-                    f"nx={cfg.nx} not divisible by mesh axis {axis!r} "
-                    f"size {n}")
-            t = SpectralTables.from_config(cfg)
-            fwd, inv = _fft_pair(fft_impl, axis, n)
-            tspec = table_specs(axis)
-            sspec = pspec = P(axis, None)
-        else:
-            raise ValueError(f"unknown decomp: {decomp!r}")
+        (t, fwd, inv, tspec, sspec, pspec, hpad,
+         axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
 
         def step_local(tl, zeta_hat, src):
             return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
@@ -352,42 +360,8 @@ class ShardedShallowWaterModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
-        hpad = None
-        if decomp == "pencil":
-            from . import pencil
-            if fft_impl != "xla":
-                raise ValueError(
-                    "decomp='pencil' currently supports fft_impl='xla' "
-                    "only (the Pallas DMA kernels are slab-specific)")
-            axes = tuple(mesh.axis_names)
-            if len(axes) != 2:
-                raise ValueError(
-                    f"decomp='pencil' needs a 2-D mesh, got axes {axes}")
-            pxn, pyn = mesh.shape[axes[0]], mesh.shape[axes[1]]
-            pencil.check_grid(cfg.nx, cfg.ny, pxn, pyn)
-            hny = cfg.ny // 2 + 1
-            hpad = pencil.padded_half(hny, pxn * pyn)
-            t = pencil.pad_tables(SpectralTables.from_config(cfg), hpad)
-            fwd, inv = pencil.make_fft_pair(axes, (pxn, pyn), hny)
-            tspec = pencil.table_specs(axes)
-            spec1 = pencil.state_spec(axes)
-            pspec = pencil.phys_spec(axes)
-            axis = axes
-        elif decomp == "xpencil":
-            (t, fwd, inv, tspec, spec1, pspec,
-             hpad) = _xpencil_setup(cfg, mesh, axis, fft_impl)
-        elif decomp == "slab":
-            n = axis_size(mesh, axis)
-            if cfg.nx % n != 0:
-                raise ValueError(
-                    f"nx={cfg.nx} not divisible by mesh axis {axis!r} "
-                    f"size {n}")
-            t = SpectralTables.from_config(cfg)
-            fwd, inv = _fft_pair(fft_impl, axis, n)
-            tspec = table_specs(axis)
-            spec1 = pspec = P(axis, None)
-        else:
-            raise ValueError(f"unknown decomp: {decomp!r}")
+        (t, fwd, inv, tspec, spec1, pspec, hpad,
+         axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
 
         def step_local(tl, s, src):
@@ -488,6 +462,118 @@ class ShardedShallowWaterModel:
 
     def geostrophic_init(self, vort0):
         return self.shard_state(self._single().geostrophic_init(vort0))
+
+    def zero_source(self) -> jax.Array:
+        return jax.device_put(
+            jnp.zeros(self.cfg.grid_shape, jnp.float32),
+            self._physical_sharding())
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedTracerModel:
+    """Multi-chip passive-tracer family (models/tracer.py sharded exactly
+    like the other families: any decomp, distributed FFTs; the joint
+    (zeta_hat, q_hat) state is two identically-sharded spectral arrays)."""
+
+    cfg: ModelConfig
+    mesh: Mesh
+    axis: object
+    tables: SpectralTables
+    kappa: float
+    step: Callable
+    segment: Callable
+    diags: Callable
+
+    decomp: str = "slab"
+    hpad: Optional[int] = None
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, mesh: Mesh,
+              axis: str = AXIS,
+              fft_impl: str = "xla",
+              decomp: str = "slab",
+              kappa: float = 0.0) -> "ShardedTracerModel":
+        from ..models import tracer as tr
+
+        g = cfg.grid_shape
+        dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
+        (t, fwd, inv, tspec, spec1, pspec, hpad,
+         axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
+        sspec = tr.TracerState(zeta_hat=spec1, q_hat=spec1)
+
+        def step_local(tl, s, src):
+            return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv)
+
+        vma = fft_impl == "xla"
+        step_sm = shard_map(step_local, mesh=mesh,
+                            in_specs=(tspec, sspec, pspec),
+                            out_specs=sspec, check_vma=vma)
+        step = jax.jit(functools.partial(step_sm, t))
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def segment(s, src, n_steps: int):
+            def seg_local(tl, s, src):
+                def body(state, _):
+                    return tr.rk4_step(tl, state, src, dt, nu, kp, g,
+                                       fwd=fwd, inv=inv), None
+                out, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return out
+            return shard_map(seg_local, mesh=mesh,
+                             in_specs=(tspec, sspec, pspec),
+                             out_specs=sspec, check_vma=vma)(t, s, src)
+
+        def diags_local(tl, s):
+            from ..ops import spectral as sp
+            psi_hat = sp.invert_laplacian(tl, s.zeta_hat)
+            u_hat, v_hat = sp.velocities(tl, psi_hat)
+            return tr.TracerDiagFields(
+                vort=inv(s.zeta_hat, g), psi=inv(psi_hat, g),
+                u=inv(u_hat, g), v=inv(v_hat, g), q=inv(s.q_hat, g))
+
+        dspec = tr.TracerDiagFields(vort=pspec, psi=pspec, u=pspec,
+                                    v=pspec, q=pspec)
+        diags_sm = shard_map(diags_local, mesh=mesh,
+                             in_specs=(tspec, sspec), out_specs=dspec,
+                             check_vma=vma)
+        diags = jax.jit(functools.partial(diags_sm, t))
+
+        return cls(cfg=cfg, mesh=mesh, axis=axis, tables=t, kappa=kp,
+                   step=step, segment=segment, diags=diags,
+                   decomp=decomp, hpad=hpad)
+
+    _padded = ShardedShallowWaterModel._padded
+    _spectral_sharding = ShardedShallowWaterModel._spectral_sharding
+    _physical_sharding = ShardedShallowWaterModel._physical_sharding
+
+    def shard_state(self, s) -> "object":
+        from ..models.tracer import TracerState
+        if self._padded():
+            from . import pencil
+            import numpy as np
+            s = TracerState(*(jnp.asarray(
+                pencil.pad_spectral(np.asarray(a), self.hpad))
+                for a in s))
+        else:
+            s = TracerState(*(jnp.asarray(a) for a in s))
+        return jax.device_put(s, self._spectral_sharding())
+
+    def unshard_state(self, s):
+        from . import multihost
+        import numpy as np
+        from ..models.tracer import TracerState
+        arrs = [np.asarray(multihost.gather_to_host(a)) for a in s]
+        if self._padded():
+            from . import pencil
+            hny = self.cfg.ny // 2 + 1
+            arrs = [pencil.strip_spectral(a, hny) for a in arrs]
+        return TracerState(*arrs)
+
+    def init_state(self, vort0, q0):
+        from ..models.tracer import TracerModel
+        tables = None if self._padded() else self.tables
+        single = TracerModel.build(self.cfg, kappa=self.kappa,
+                                   tables=tables)
+        return self.shard_state(single.init_state(vort0, q0))
 
     def zero_source(self) -> jax.Array:
         return jax.device_put(

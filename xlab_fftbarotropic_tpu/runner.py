@@ -185,6 +185,8 @@ class _TracerAdapter:
                     u=_np(d.u), v=_np(d.v), q=_np(d.q))
 
     def stats(self, state):
+        if not hasattr(self.model, "stats"):   # sharded models: skip
+            return {}
         s = self.model.stats(state)
         return dict(max_abs_vort=float(s.max_abs_vort),
                     energy=float(s.energy),
@@ -192,11 +194,16 @@ class _TracerAdapter:
                     q_mean=float(s.q_mean), q_var=float(s.q_var))
 
     def pack(self, state):
+        if hasattr(self.model, "unshard_state"):
+            return np.stack(list(self.model.unshard_state(state)))
         return np.stack([_np(a) for a in state])
 
     def unpack(self, packed):
         from .models.tracer import TracerState
-        return TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+        st = TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+        if hasattr(self.model, "shard_state"):
+            return self.model.shard_state(st)
+        return st
 
 
 class _FDAdapter:
@@ -265,6 +272,12 @@ def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
             model = ShardedShallowWaterModel.build(cfg, mesh,
                                                    fft_impl=shard_fft,
                                                    decomp=decomp)
+        elif model_kind == "tracer":
+            from .parallel import ShardedTracerModel
+            model = ShardedTracerModel.build(cfg, mesh,
+                                             fft_impl=shard_fft,
+                                             decomp=decomp,
+                                             kappa=tracer_kappa)
         else:
             raise ValueError(
                 f"--shard is not supported for model kind {model_kind!r}")
