@@ -168,6 +168,28 @@ def test_auto_gate_is_range_based(monkeypatch):
     assert bt.use_plane_stepper((8192, 8192)) == bt.PLANE_STEPPER
 
 
+def test_auto_gate_floor_drops_in_fast_mode(monkeypatch):
+    """With lossy kernel matmuls (fast-transforms mode) the pallas floor
+    moves to 1024: measured 1.32x XLA at 1024^2 and 1.94x at 2048^2
+    (BASELINE.md 2026-08-18). Both the env var and the in-process
+    MM_MODE override (cli --fast-transforms) must flip the gate."""
+    import jax
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "fp32")
+    assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "xla"
+    assert bt.resolve_fft_backend_name("auto", (1024, 1024)) == "xla"
+    monkeypatch.setattr(pallas_fft, "MM_MODE", "default")
+    assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "pallas"
+    assert bt.resolve_fft_backend_name("auto", (1024, 1024)) == "pallas"
+    assert bt.resolve_fft_backend_name("auto", (512, 512)) == "xla"
+    # explicit floor still wins over the fast default
+    monkeypatch.setenv("XFB_PALLAS_MIN", "4096")
+    assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "xla"
+
+
 def test_mm_bf16x3_trajectory_accuracy(monkeypatch):
     """XFB_PALLAS_MM=bf16x3 (Veltkamp split-operand decomposition +
     DEFAULT-precision dots, ops/pallas_fft._mm) must track the fp32

@@ -77,15 +77,25 @@ def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
     if name != "auto":
         return name
     import os
+    import sys
     nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-    # Range gate, not equality: pallas wins from 4096 up (measured 1.73x
-    # there; XLA still wins at <= 2048), capped by the COMPILE-memory
-    # budget — at 8192^2 BOTH pallas pipelines OOM-SIGKILL the remote AOT
-    # compile helper (verified 2026-08-17), an environment host-RAM limit,
-    # not a kernel property. Hosts with more compile RAM can raise the cap
-    # via XFB_PALLAS_MAX (and lower the floor via XFB_PALLAS_MIN);
-    # explicit --fft-backend pallas always bypasses the gate.
-    lo = int(os.environ.get("XFB_PALLAS_MIN", 4096))
+    # Range gate, not equality: at float32 HIGHEST pallas wins from 4096
+    # up (measured 1.73x there; XLA still wins at <= 2048), capped by the
+    # COMPILE-memory budget — at 8192^2 BOTH pallas pipelines OOM-SIGKILL
+    # the remote AOT compile helper (verified 2026-08-17), an environment
+    # host-RAM limit, not a kernel property. In FAST-transforms mode
+    # (XFB_PALLAS_MM lossy) the single-pass matmuls move the crossover
+    # down: measured 1.32x XLA at 1024^2 and 1.94x at 2048^2 (BASELINE.md
+    # 2026-08-18), so the floor drops to 1024 there. Hosts with more
+    # compile RAM can raise the cap via XFB_PALLAS_MAX (and move the
+    # floor via XFB_PALLAS_MIN); explicit --fft-backend pallas always
+    # bypasses the gate.
+    mm = os.environ.get("XFB_PALLAS_MM", "fp32")
+    pf = sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
+    if pf is not None:      # in-process override (cli --fast-transforms)
+        mm = pf.MM_MODE
+    fast = mm in ("bf16", "default")
+    lo = int(os.environ.get("XFB_PALLAS_MIN", 1024 if fast else 4096))
     hi = int(os.environ.get("XFB_PALLAS_MAX", 4096))
     pallas_ok = (nx == ny and lo <= nx <= hi and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
