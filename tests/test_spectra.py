@@ -84,6 +84,21 @@ def test_shell_tables_cover_every_mode():
     assert int(w.sum()) == cfg.nx * cfg.ny
 
 
+def test_draw_spectra_renders_png(tmp_path):
+    from xlab_fftbarotropic_tpu.viz.plots import draw_spectra
+
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    sp = energy_enstrophy_spectrum(
+        t, fft.forward(jnp.asarray(makefields.gaussian(cfg))), cfg)
+    np.savetxt(tmp_path / "spectrum_step_0.txt",
+               np.column_stack([np.asarray(sp.k), np.asarray(sp.energy),
+                                np.asarray(sp.enstrophy)]))
+    made = draw_spectra(tmp_path, tmp_path / "figs")
+    assert len(made) == 1
+    assert made[0].exists() and made[0].stat().st_size > 5000
+
+
 def test_diagnose_cli_spectrum(tmp_path, monkeypatch):
     from xlab_fftbarotropic_tpu.cli import diagnose
     from xlab_fftbarotropic_tpu.io.fieldio import write_field

@@ -26,8 +26,20 @@ def main(argv=None):
                     default="streamline")
     ap.add_argument("--start-step", type=int, default=0)
     ap.add_argument("--dpi", type=int, default=100)
+    ap.add_argument("--spectra", action="store_true",
+                    help="render spectrum_step_*.txt (xfb-diagnose -d "
+                         "spectrum output) as log-log E(k)/Z(k) PNGs "
+                         "instead of field figures")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
+    if args.spectra:
+        from ..viz.plots import draw_spectra
+        made = draw_spectra(args.output_dir, args.fig_dir,
+                            dpi=args.dpi, progress=True)
+        if not made:
+            raise SystemExit(
+                f"no spectrum_step_*.txt found in {args.output_dir}")
+        return
     made = draw_run(cfg, args.output_dir, args.fig_dir,
                     start_step=args.start_step, wind=args.wind,
                     dpi=args.dpi, progress=True)

@@ -99,6 +99,48 @@ def draw_step(cfg: ModelConfig, in_dir, step: int, out_path,
     return out_path
 
 
+def draw_spectrum(txt_path, out_path, dpi: int = 100):
+    """Log-log E(k)/Z(k) figure from a `xfb-diagnose -d spectrum` text
+    file (k [1/m], E(k), Z(k) columns), with a k^-3 guide slope (the 2-D
+    enstrophy-cascade prediction) anchored at the energy peak."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.loadtxt(txt_path)
+    k, e, z = data[1:, 0], data[1:, 1], data[1:, 2]   # skip the mean mode
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    ax.loglog(k, np.maximum(e, 1e-300), label="E(k)")
+    ax.loglog(k, np.maximum(z, 1e-300), label="Z(k)", ls="--")
+    if e.max() > 0:
+        i0 = int(np.argmax(e))
+        if k[i0] > 0:
+            guide = e[i0] * (k / k[i0]) ** -3.0
+            ax.loglog(k, guide, color="0.6", lw=0.8, label=r"$k^{-3}$")
+    ax.set_xlabel("k [1/m]")
+    ax.set_ylabel("shell-integrated density")
+    ax.legend(frameon=False)
+    ax.set_title(Path(txt_path).name)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return Path(out_path)
+
+
+def draw_spectra(in_dir, out_dir, dpi: int = 100, progress: bool = False):
+    """Render every spectrum_step_*.txt in in_dir to PNG."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    made = []
+    for txt in sorted(Path(in_dir).glob("spectrum_step_*.txt"),
+                      key=lambda p: int(p.stem.rsplit("_", 1)[-1])):
+        p = draw_spectrum(txt, out / (txt.stem + ".png"), dpi=dpi)
+        made.append(p)
+        if progress:
+            print(f"Output image: {p}")
+    return made
+
+
 def draw_run(cfg: ModelConfig, in_dir, out_dir,
              start_step: int = 0, wind: str = "streamline",
              dpi: int = 100, progress: bool = False):
