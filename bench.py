@@ -13,7 +13,16 @@ N^2 log N FFT cost model: per-point cost scales with log(nx), so
 gp/s(bench_nx) = gp/s(oracle_nx) * log(oracle_nx)/log(bench_nx). The
 JSON records the method in `baseline_method`.
 
-Usage: python bench.py [--nx N] [--steps S] [--quick]
+The headline runs the production fast-transforms mode (`--mm fast`,
+the `xfb-run --fast-transforms` configuration: single-pass bf16 Pallas
+kernel matmuls) — measured at 4096^2 on hardware 2026-08-18: 20.7
+ms/step sustained over a 2000-step soak, rel-L2 vs the fp32 XLA core
+1.8e-5 at 20 steps growing sublinearly to 1.2e-4 at 200 (BASELINE.md
+fast-horizon entry). `--mm fp32` keeps the strict reference-parity
+float32 mode (42.95 ms/step there). The JSON discloses the mode and
+its measured accuracy so the two are never conflated.
+
+Usage: python bench.py [--nx N] [--steps S] [--quick] [--mm fast|fp32]
 """
 
 from __future__ import annotations
@@ -92,9 +101,27 @@ def main():
                     choices=["barotropic", "sw", "shallow-water"])
     ap.add_argument("--quick", action="store_true",
                     help="small grid for smoke runs")
+    ap.add_argument("--mm", default="fast", choices=["fast", "fp32"],
+                    help="transform precision mode: 'fast' = the "
+                         "production --fast-transforms configuration "
+                         "(bf16 Pallas kernel matmuls, horizon-validated "
+                         "in BASELINE.md), 'fp32' = strict reference-"
+                         "parity float32 (HIGHEST). One mode per process "
+                         "(in-process kernel rebuilds trip the MLIR "
+                         "lowering cache; CLAUDE.md).")
     args = ap.parse_args()
     if args.quick:
         args.nx, args.steps = 512, 10
+
+    if args.mm == "fast":
+        # Must land before ops.pallas_fft is imported (it reads the env
+        # at import); mirror into an already-imported module the way
+        # cli/run.py --fast-transforms does.
+        import os
+        os.environ["XFB_PALLAS_MM"] = "default"
+        mod = sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
+        if mod is not None:
+            mod.MM_MODE = "default"
 
     gps = measure_tpu(args.nx, args.steps, args.model)
     try:
@@ -108,6 +135,12 @@ def main():
         "metric": f"rk4{tag}_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
         "value": round(gps, 1),
         "unit": "grid-points/s/chip",
+        "mm_mode": ("fast-transforms (bf16 Pallas matmuls; the xfb-run "
+                    "--fast-transforms production mode; rel-L2 vs fp32 "
+                    "core 1.8e-5 @20 steps / 1.2e-4 @200, 2000-step "
+                    "soak-stable — BASELINE.md 2026-08-18)"
+                    if args.mm == "fast" else
+                    "fp32 strict reference parity (Precision.HIGHEST)"),
     }
     if base:
         import math
