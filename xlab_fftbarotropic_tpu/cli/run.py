@@ -84,6 +84,20 @@ def main(argv=None):
                         "of slab; all --shard-fft impls), or true 2-D "
                         "pencil (tiles over a PxQ mesh — one inter-host "
                         "collective per transform; see --mesh-shape)")
+    p.add_argument("--ensemble", type=int, default=0, metavar="M",
+                   help="run an M-member perturbed-IC ensemble in ONE "
+                        "vmap-batched program (barotropic/sw/tracer): "
+                        "member 0 is the unperturbed control; each member "
+                        "records into output/mNN/ with the reference file "
+                        "layout. New capability — the reference needs M "
+                        "serial runs for this.")
+    p.add_argument("--ensemble-amp", type=float, default=0.05,
+                   help="IC perturbation amplitude relative to rms(vort0) "
+                        "(band-limited spectral noise; 0 = identical "
+                        "members)")
+    p.add_argument("--ensemble-seed", type=int, default=0,
+                   help="PRNG seed for the ensemble IC perturbations "
+                        "(deterministic member set)")
     p.add_argument("--mesh-shape", default=None, metavar="PxQ",
                    help="2-D mesh shape for --decomp pencil, e.g. 2x4 "
                         "(default: n_processes x local_devices, or 1xN "
@@ -167,7 +181,10 @@ def main(argv=None):
                      mesh_shape=mesh_shape,
                      debug_fields=args.debug_fields,
                      tracer_kappa=args.tracer_kappa,
-                     tracer_ic=args.tracer_ic)
+                     tracer_ic=args.tracer_ic,
+                     ensemble=args.ensemble,
+                     ensemble_amp=args.ensemble_amp,
+                     ensemble_seed=args.ensemble_seed)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

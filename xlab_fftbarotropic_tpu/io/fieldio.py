@@ -122,6 +122,11 @@ class FieldRecorder:
 
     def _write(self, name: str, step: int, data) -> Path:
         path = self.dir / f"{name}_step_{step}.bin"
+        # ensemble members record into per-member subdirectories
+        # ("m00/vort_step_N.bin") so each member's tree keeps the exact
+        # reference layout for downstream pipelines
+        if path.parent != self.dir:
+            path.parent.mkdir(parents=True, exist_ok=True)
         write_field(path, data)
         if self.manifest is not None:
             self.manifest.record(path)

@@ -1,0 +1,164 @@
+"""Ensemble integration: vmap-batched member simulations in one program.
+
+New TPU-native capability with no reference counterpart: the reference
+runs exactly one simulation per process (/root/reference/src/main.cpp —
+one state, one time loop), so a perturbed-IC ensemble costs N full serial
+runs. On TPU the small and mid-size grids the reference targets (768^2
+default, configuration.hpp:18) leave the chip mostly idle — a single
+256^2 RK4 step is launch-latency-bound, not FLOP- or bandwidth-bound. Here
+`jax.vmap` batches M independent members over a leading axis of ONE jitted
+step/segment, so every FFT becomes a batched transform and every pointwise
+stage a taller VPU op: the chip amortizes its launch and pipeline overhead
+across the whole ensemble instead of idling per member.
+
+Design notes:
+  * The member physics is exactly the single-run model (rk4_step of
+    models/barotropic.py etc. — SURVEY.md §5 contract); member 0 of an
+    `amplitude=0` ensemble is bit-comparable to a solo run of the same
+    backend (pinned in tests/test_ensemble.py).
+  * The ensemble always uses the XLA FFT path when cfg.fft_backend is
+    'auto': batching is what restores utilization at the small grids where
+    the fused Pallas plane stepper loses to XLA anyway, while at 4096^2 a
+    single member already saturates the chip (run members sequentially
+    there). An explicit non-auto backend is honored as given.
+  * Forcing is SHARED across members (one source field per step, matching
+    the reference's one-FIFO-stream protocol, SURVEY.md §3.2).
+  * IC spread comes from `perturb_vorticity`: band-limited spectral noise,
+    deterministic in (seed, n_members), member 0 left unperturbed as the
+    control member.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import fft
+
+
+def perturb_vorticity(cfg: ModelConfig, vort0, n_members: int,
+                      amplitude: float = 0.05, seed: int = 0,
+                      k_frac: float = 0.5):
+    """Batch of perturbed initial vorticity fields, shape (M, nx, ny).
+
+    Member 0 is the unperturbed control. Members 1..M-1 add smooth,
+    zero-mean, band-limited noise: unit-variance white noise restricted to
+    isotropic wavenumber indices |k_idx| <= k_frac * dealias cutoff (so the
+    perturbation lives well inside resolved scales), normalized to unit RMS
+    in physical space, then scaled by `amplitude * rms(vort0)`. Fully
+    deterministic in (seed, n_members, grid).
+    """
+    vort0 = jnp.asarray(vort0, jnp.float32)
+    nx, ny = cfg.grid_shape
+    if n_members < 1:
+        raise ValueError(f"n_members must be >= 1, got {n_members}")
+    if n_members == 1 or amplitude == 0.0:
+        return jnp.broadcast_to(vort0, (n_members, nx, ny))
+
+    @jax.jit
+    def _make(v0):
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (n_members - 1, nx, ny),
+                                  dtype=jnp.float32)
+        # band-limit: circular low-pass in the half-spectrum, mean mode off
+        kc = k_frac * float(min(cfg.dealias_kx, cfg.dealias_ky))
+        ix = jnp.minimum(jnp.arange(nx), nx - jnp.arange(nx))
+        jy = jnp.arange(ny // 2 + 1)
+        r2 = ix[:, None] ** 2 + jy[None, :] ** 2
+        lowpass = jnp.where((r2 > 0) & (r2 <= kc * kc), 1.0, 0.0)
+        nh = jax.vmap(fft.forward)(noise) * lowpass[None]
+        smooth = jax.vmap(lambda s: fft.inverse(s, (nx, ny)))(nh)
+        rms = jnp.sqrt(jnp.mean(smooth * smooth, axis=(1, 2), keepdims=True))
+        smooth = smooth / jnp.maximum(rms, 1e-30)
+        scale = amplitude * jnp.sqrt(jnp.mean(v0 * v0))
+        members = v0[None] + scale * smooth
+        return jnp.concatenate([v0[None], members], axis=0)
+
+    return _make(vort0)
+
+
+def _member_model(cfg: ModelConfig, model_kind: str, tracer_kappa: float):
+    """Build the inner single-member model on the batched-transform-friendly
+    backend resolution (see module docstring)."""
+    if cfg.fft_backend == "auto":
+        cfg = dataclasses.replace(cfg, fft_backend="xla")
+    if model_kind in ("barotropic", "bt"):
+        from .barotropic import BarotropicModel
+        return BarotropicModel.build(cfg), cfg
+    if model_kind in ("shallow-water", "sw"):
+        from .shallow_water import ShallowWaterModel
+        return ShallowWaterModel.build(cfg), cfg
+    if model_kind == "tracer":
+        from .tracer import TracerModel
+        return TracerModel.build(cfg, kappa=tracer_kappa), cfg
+    raise ValueError(
+        f"ensemble is not supported for model kind {model_kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class EnsembleModel:
+    """vmap-batched M-member wrapper around one of the model families.
+
+    `step`/`segment`/`diags` have the single-model signatures with every
+    state leaf carrying a leading member axis; `src` stays unbatched
+    (shared forcing). `stats` returns the inner family's NamedTuple with
+    each scalar batched to shape (M,).
+    """
+
+    cfg: ModelConfig
+    n_members: int
+    model_kind: str
+    inner: object
+    step: Callable
+    segment: Callable
+    diags: Callable
+    stats: Callable
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, n_members: int,
+              model_kind: str = "barotropic",
+              tracer_kappa: float = 0.0) -> "EnsembleModel":
+        inner, cfg_x = _member_model(cfg, model_kind, tracer_kappa)
+
+        def step(state, src):
+            return jax.vmap(inner.step, in_axes=(0, None))(state, src)
+
+        def segment(state, src, n_steps: int):
+            return jax.vmap(
+                lambda st: inner.segment(st, src, n_steps))(state)
+
+        def diags(state):
+            return jax.vmap(inner.diags)(state)
+
+        def stats(state):
+            return jax.vmap(inner.stats)(state)
+
+        return cls(cfg=cfg_x, n_members=int(n_members),
+                   model_kind=model_kind, inner=inner,
+                   step=step, segment=segment, diags=diags, stats=stats)
+
+    def init_from_physical(self, vort0, amplitude: float = 0.05,
+                           seed: int = 0):
+        """Perturbed-IC batch -> batched model state."""
+        batch = perturb_vorticity(self.cfg, vort0, self.n_members,
+                                  amplitude=amplitude, seed=seed)
+        if self.model_kind in ("shallow-water", "sw"):
+            return jax.vmap(self.inner.geostrophic_init)(batch)
+        if self.model_kind == "tracer":
+            from .tracer import tracer_ic
+            q0 = jax.vmap(lambda v: tracer_ic(self.cfg, "vorticity", v))(
+                batch)
+            return jax.vmap(self.inner.init_state)(batch, q0)
+        return jax.vmap(self.inner.init_state)(batch)
+
+    def spread(self, state) -> jax.Array:
+        """Ensemble spread: RMS over the grid of the member standard
+        deviation of physical vorticity — the standard chaos/divergence
+        scalar for perturbed-IC ensembles."""
+        vort = self.diags(state).vort            # (M, nx, ny)
+        sd = jnp.std(vort, axis=0)
+        return jnp.sqrt(jnp.mean(sd * sd))

@@ -206,6 +206,77 @@ class _TracerAdapter:
         return st
 
 
+class _EnsembleAdapter:
+    """vmap-batched M-member ensemble (models/ensemble.py) — a new
+    capability with no reference counterpart. Each member's fields record
+    into a per-member subdirectory (output/m00/vort_step_N.bin, ...) so
+    every member tree keeps the exact reference output contract; forcing
+    is shared across members (one stream, SURVEY.md §3.2)."""
+
+    def __init__(self, cfg, model_kind: str, n_members: int,
+                 amplitude: float = 0.05, seed: int = 0,
+                 tracer_kappa: float = 0.0):
+        from .models.ensemble import EnsembleModel
+        self.cfg = cfg
+        self.amplitude = amplitude
+        self.seed = seed
+        self.model = EnsembleModel.build(cfg, n_members,
+                                         model_kind=model_kind,
+                                         tracer_kappa=tracer_kappa)
+        self._w = max(2, len(str(n_members - 1)))
+        self.kind = f"ensemble-{self.model.inner.__class__.__name__}"
+
+    def _prefix(self, k: int) -> str:
+        return f"m{k:0{self._w}d}"
+
+    def init_from_physical(self, vort0):
+        return self.model.init_from_physical(vort0,
+                                             amplitude=self.amplitude,
+                                             seed=self.seed)
+
+    def step(self, state, src):
+        return self.model.step(state, src)
+
+    def segment(self, state, src, n):
+        return self.model.segment(state, src, n)
+
+    def record_fields(self, state):
+        d = self.model.diags(state)
+        batched = {name: _np(arr) for name, arr in d._asdict().items()}
+        out = {}
+        for k in range(self.model.n_members):
+            for name in batched:
+                out[f"{self._prefix(k)}/{name}"] = batched[name][k]
+        return out
+
+    def stats(self, state):
+        s = self.model.stats(state)
+        d = {}
+        for name, arr in s._asdict().items():
+            vals = np.asarray(arr, dtype=np.float64)
+            d[f"{name}_mean"] = float(vals.mean())
+            d[f"{name}_std"] = float(vals.std())
+        d["spread"] = float(self.model.spread(state))
+        return d
+
+    def pack(self, state):
+        leaves = jax.tree_util.tree_leaves(state)
+        if len(leaves) == 1:
+            return _np(leaves[0])
+        return np.stack([_np(a) for a in leaves])
+
+    def unpack(self, packed):
+        packed = np.asarray(packed)
+        inner = self.model.inner.__class__.__name__
+        if inner == "BarotropicModel":
+            return jnp.asarray(packed)
+        if inner == "ShallowWaterModel":
+            from .models.shallow_water import SWState
+            return SWState(*(jnp.asarray(a) for a in packed))
+        from .models.tracer import TracerState
+        return TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+
+
 class _FDAdapter:
     """Finite-difference cross-check core (models/fd_core.py): state is
     (physical zeta, carried psi)."""
@@ -251,7 +322,18 @@ def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
                  model=None, shard: bool = False,
                  shard_fft: str = "xla", decomp: str = "slab",
                  mesh_shape=None, tracer_kappa: float = 0.0,
-                 tracer_ic: str = "vorticity"):
+                 tracer_ic: str = "vorticity",
+                 ensemble: int = 0, ensemble_amp: float = 0.05,
+                 ensemble_seed: int = 0):
+    if ensemble and ensemble > 1:
+        if shard:
+            raise ValueError("--ensemble and --shard are mutually "
+                             "exclusive (batch within a chip, shard "
+                             "across chips)")
+        return _EnsembleAdapter(cfg, model_kind, ensemble,
+                                amplitude=ensemble_amp,
+                                seed=ensemble_seed,
+                                tracer_kappa=tracer_kappa)
     if shard and model is None:
         from .parallel import (ShardedBarotropicModel,
                                ShardedShallowWaterModel, make_mesh)
@@ -311,7 +393,10 @@ def run(cfg: ModelConfig,
         check_finite: bool = True,
         debug_fields: bool = False,
         tracer_kappa: float = 0.0,
-        tracer_ic: str = "vorticity") -> RunResult:
+        tracer_ic: str = "vorticity",
+        ensemble: int = 0,
+        ensemble_amp: float = 0.05,
+        ensemble_seed: int = 0) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -333,7 +418,9 @@ def run(cfg: ModelConfig,
     adapter = make_adapter(cfg, model_kind, model, shard=shard,
                            shard_fft=shard_fft, decomp=decomp,
                            mesh_shape=mesh_shape, tracer_kappa=tracer_kappa,
-                           tracer_ic=tracer_ic)
+                           tracer_ic=tracer_ic, ensemble=ensemble,
+                           ensemble_amp=ensemble_amp,
+                           ensemble_seed=ensemble_seed)
     if debug_fields and not hasattr(adapter, "debug_record_fields"):
         raise ValueError(
             f"--debug-fields is not supported for model kind {model_kind!r}")
