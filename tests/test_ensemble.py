@@ -83,6 +83,36 @@ def test_control_member_matches_solo_under_perturbation():
     assert float(ens.spread(final)) > 0.0
 
 
+def test_chunked_width_matches_full_vmap():
+    """lax.map-over-vmap chunking (the measured large-grid default) is a
+    pure execution-schedule change — identical trajectories."""
+    cfg = _cfg(dt=10.0)
+    vort0 = makefields.kuo2004(cfg)
+    full = EnsembleModel.build(cfg, 4, vmap_width=4)
+    state = full.init_from_physical(vort0, amplitude=0.05, seed=2)
+    out_full = np.asarray(full.segment(state, jnp.zeros(cfg.grid_shape,
+                                                        jnp.float32), 10))
+    for width in (1, 2):
+        chunked = EnsembleModel.build(cfg, 4, vmap_width=width)
+        assert chunked.vmap_width == width
+        out = np.asarray(chunked.segment(
+            state, jnp.zeros(cfg.grid_shape, jnp.float32), 10))
+        np.testing.assert_allclose(out, out_full, rtol=0,
+                                   atol=1e-6 * np.abs(out_full).max())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide"):
+        EnsembleModel.build(cfg, 4, vmap_width=3)
+
+
+def test_auto_vmap_width_crossover():
+    from xlab_fftbarotropic_tpu.models.ensemble import auto_vmap_width
+    assert auto_vmap_width(ModelConfig(nx=256, ny=256), 64) == 64
+    assert auto_vmap_width(ModelConfig(nx=512, ny=512), 32) == 8
+    assert auto_vmap_width(ModelConfig(nx=1024, ny=1024), 8) == 1
+    # snapped down to a divisor
+    assert auto_vmap_width(ModelConfig(nx=512, ny=512), 12) == 6
+
+
 def test_zero_amp_members_match_solo_sw():
     from xlab_fftbarotropic_tpu.models.shallow_water import ShallowWaterModel
     cfg = _cfg(dt=3.0)

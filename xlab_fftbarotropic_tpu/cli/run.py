@@ -98,6 +98,11 @@ def main(argv=None):
     p.add_argument("--ensemble-seed", type=int, default=0,
                    help="PRNG seed for the ensemble IC perturbations "
                         "(deterministic member set)")
+    p.add_argument("--ensemble-width", type=int, default=None,
+                   help="members advanced per vmap chunk (lax.map over "
+                        "chunks). Default: measured auto — full batch "
+                        "<=256^2, 8 at 512^2, sequential >=1024^2 "
+                        "(BASELINE.md ensemble sweep); must divide M")
     p.add_argument("--mesh-shape", default=None, metavar="PxQ",
                    help="2-D mesh shape for --decomp pencil, e.g. 2x4 "
                         "(default: n_processes x local_devices, or 1xN "
@@ -184,7 +189,8 @@ def main(argv=None):
                      tracer_ic=args.tracer_ic,
                      ensemble=args.ensemble,
                      ensemble_amp=args.ensemble_amp,
-                     ensemble_seed=args.ensemble_seed)
+                     ensemble_seed=args.ensemble_seed,
+                     ensemble_width=args.ensemble_width)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

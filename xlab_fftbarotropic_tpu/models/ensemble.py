@@ -31,7 +31,7 @@ Design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +99,30 @@ def _member_model(cfg: ModelConfig, model_kind: str, tracer_kappa: float):
         f"ensemble is not supported for model kind {model_kind!r}")
 
 
+def auto_vmap_width(cfg: ModelConfig, n_members: int) -> int:
+    """Measured-crossover default for the vmap chunk width (hardware
+    sweep, scripts/bench_ensemble.py on v5e, BASELINE.md round-2 entry;
+    aggregate gp/s vs the solo rate): full batching is 4.5-5.5x at 256²
+    but DEGRADES at large grids (768²x8 = 1.04x, 1024²x8 = 0.81x —
+    XLA's batched FFTs pipeline worse at large sizes, same effect as the
+    round-1 batched-irfft2 rejection), while width-1 async-dispatch
+    chunking reaches 1.11-1.15x there by pipelining members on-device.
+    So: full vmap up to 256², chunks of 8 at 512² (32-member sweep:
+    1.62x vs 1.23x unchunked), width 1 from 768² up. Override with
+    XFB_ENSEMBLE_WIDTH. The width is snapped down to a divisor of M."""
+    import os
+    env = os.environ.get("XFB_ENSEMBLE_WIDTH")
+    if env:
+        target = max(1, int(env))
+    else:
+        n = max(cfg.nx, cfg.ny)
+        target = n_members if n <= 256 else (8 if n <= 512 else 1)
+    target = min(target, n_members)
+    while n_members % target:
+        target -= 1
+    return target
+
+
 @dataclasses.dataclass(frozen=True)
 class EnsembleModel:
     """vmap-batched M-member wrapper around one of the model families.
@@ -106,13 +130,16 @@ class EnsembleModel:
     `step`/`segment`/`diags` have the single-model signatures with every
     state leaf carrying a leading member axis; `src` stays unbatched
     (shared forcing). `stats` returns the inner family's NamedTuple with
-    each scalar batched to shape (M,).
+    each scalar batched to shape (M,). Members advance in chunks of
+    `vmap_width` via lax.map-over-vmap (one jitted program either way;
+    see auto_vmap_width for the measured default).
     """
 
     cfg: ModelConfig
     n_members: int
     model_kind: str
     inner: object
+    vmap_width: int
     step: Callable
     segment: Callable
     diags: Callable
@@ -121,14 +148,52 @@ class EnsembleModel:
     @classmethod
     def build(cls, cfg: ModelConfig, n_members: int,
               model_kind: str = "barotropic",
-              tracer_kappa: float = 0.0) -> "EnsembleModel":
+              tracer_kappa: float = 0.0,
+              vmap_width: Optional[int] = None) -> "EnsembleModel":
         inner, cfg_x = _member_model(cfg, model_kind, tracer_kappa)
+        m = int(n_members)
+        width = (auto_vmap_width(cfg_x, m) if vmap_width is None
+                 else vmap_width)
+        if width < 1 or m % width:
+            raise ValueError(f"vmap_width {width} must divide "
+                             f"n_members {m}")
+
+        def _chunked(member_fn):
+            """Apply a single-member state->state fn across the batch.
+
+            width == M: one vmapped program. width < M: a host loop of
+            ASYNC dispatches of one compiled chunk program (the inner
+            jitted step/segment is compiled once and reused; dispatches
+            queue on-device, so chunks pipeline back-to-back). A
+            scan-over-chunks (lax.map) was measured 8-10x SLOWER on
+            hardware than this (BASELINE.md ensemble entry) — it wraps
+            the whole batch in one giant sequential program instead of
+            reusing the inner executable. width == 1 skips vmap so each
+            member runs the true unbatched program (batched FFTs lower
+            worse at large grids even at batch 1)."""
+            vfn = jax.vmap(member_fn)
+
+            def run(state):
+                if width == m:
+                    return vfn(state)
+                tm = jax.tree_util.tree_map
+                outs = []
+                for i in range(0, m, width):
+                    if width == 1:
+                        outs.append(member_fn(tm(lambda a: a[i], state)))
+                    else:
+                        outs.append(vfn(
+                            tm(lambda a: a[i:i + width], state)))
+                if width == 1:
+                    return tm(lambda *xs: jnp.stack(xs, axis=0), *outs)
+                return tm(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            return run
 
         def step(state, src):
-            return jax.vmap(inner.step, in_axes=(0, None))(state, src)
+            return _chunked(lambda st: inner.step(st, src))(state)
 
         def segment(state, src, n_steps: int):
-            return jax.vmap(
+            return _chunked(
                 lambda st: inner.segment(st, src, n_steps))(state)
 
         def diags(state):
@@ -137,8 +202,8 @@ class EnsembleModel:
         def stats(state):
             return jax.vmap(inner.stats)(state)
 
-        return cls(cfg=cfg_x, n_members=int(n_members),
-                   model_kind=model_kind, inner=inner,
+        return cls(cfg=cfg_x, n_members=m,
+                   model_kind=model_kind, inner=inner, vmap_width=width,
                    step=step, segment=segment, diags=diags, stats=stats)
 
     def init_from_physical(self, vort0, amplitude: float = 0.05,

@@ -215,14 +215,15 @@ class _EnsembleAdapter:
 
     def __init__(self, cfg, model_kind: str, n_members: int,
                  amplitude: float = 0.05, seed: int = 0,
-                 tracer_kappa: float = 0.0):
+                 tracer_kappa: float = 0.0, vmap_width=None):
         from .models.ensemble import EnsembleModel
         self.cfg = cfg
         self.amplitude = amplitude
         self.seed = seed
         self.model = EnsembleModel.build(cfg, n_members,
                                          model_kind=model_kind,
-                                         tracer_kappa=tracer_kappa)
+                                         tracer_kappa=tracer_kappa,
+                                         vmap_width=vmap_width)
         self._w = max(2, len(str(n_members - 1)))
         self.kind = f"ensemble-{self.model.inner.__class__.__name__}"
 
@@ -324,7 +325,7 @@ def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
                  mesh_shape=None, tracer_kappa: float = 0.0,
                  tracer_ic: str = "vorticity",
                  ensemble: int = 0, ensemble_amp: float = 0.05,
-                 ensemble_seed: int = 0):
+                 ensemble_seed: int = 0, ensemble_width=None):
     if ensemble and ensemble > 1:
         if shard:
             raise ValueError("--ensemble and --shard are mutually "
@@ -333,7 +334,8 @@ def make_adapter(cfg: ModelConfig, model_kind: str = "barotropic",
         return _EnsembleAdapter(cfg, model_kind, ensemble,
                                 amplitude=ensemble_amp,
                                 seed=ensemble_seed,
-                                tracer_kappa=tracer_kappa)
+                                tracer_kappa=tracer_kappa,
+                                vmap_width=ensemble_width)
     if shard and model is None:
         from .parallel import (ShardedBarotropicModel,
                                ShardedShallowWaterModel, make_mesh)
@@ -396,7 +398,8 @@ def run(cfg: ModelConfig,
         tracer_ic: str = "vorticity",
         ensemble: int = 0,
         ensemble_amp: float = 0.05,
-        ensemble_seed: int = 0) -> RunResult:
+        ensemble_seed: int = 0,
+        ensemble_width=None) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -420,7 +423,8 @@ def run(cfg: ModelConfig,
                            mesh_shape=mesh_shape, tracer_kappa=tracer_kappa,
                            tracer_ic=tracer_ic, ensemble=ensemble,
                            ensemble_amp=ensemble_amp,
-                           ensemble_seed=ensemble_seed)
+                           ensemble_seed=ensemble_seed,
+                           ensemble_width=ensemble_width)
     if debug_fields and not hasattr(adapter, "debug_record_fields"):
         raise ValueError(
             f"--debug-fields is not supported for model kind {model_kind!r}")
