@@ -275,3 +275,28 @@ def test_bt_yfirst_matches_xfirst(monkeypatch):
                                              s=cfg.grid_shape))
     err = np.max(np.abs(outs[True] - outs[False]))
     assert err < 1e-5 * max(1.0, np.max(np.abs(outs[False]))), err
+
+
+def test_ka_field_minor_order_bit_identical(monkeypatch):
+    """Grid-mode KA with the field axis minor (input-block revisiting:
+    the state/rlap reads drop 4x on hardware) is a pure iteration-order
+    change — outputs must be BIT-identical to the field-major order."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlab_fftbarotropic_tpu.ops.spectral import SpectralTables
+
+    cfg = ModelConfig(nx=256, ny=256)
+    t = SpectralTables.from_config(cfg)
+    rng = np.random.default_rng(0)
+    z = (rng.standard_normal(cfg.spectral_shape)
+         + 1j * rng.standard_normal(cfg.spectral_shape)).astype(np.complex64)
+    zr, zi = jnp.real(jnp.asarray(z)), jnp.imag(jnp.asarray(z))
+    outs = {}
+    for minor in (True, False):
+        monkeypatch.setattr(pf, "KA_FIELD_MINOR", minor)
+        outs[minor] = pf.derivative_quad_planes(zr, zi, t.kx, t.ky,
+                                                t.rlap, cfg.grid_shape,
+                                                ymajor=True)
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -407,6 +407,21 @@ def _ka2_kernel(which: str, n: int, zr_ref, zi_ref, rlap_ref, kx_ref,
 #          reference); 'split' = two 2-transform KA2 calls.
 QUAD_MODE = "grid"
 
+# Grid-mode KA iteration order: field-minor puts the 4-long field axis
+# LAST so the state/rlap input blocks are revisited (not re-fetched)
+# across the 4 field steps — in principle a 4x cut of the state+rlap
+# reads (~13% of step traffic). MEASURED SLOWER on hardware (2026-08-18,
+# 4096² fast mode, 30-step segments, checksums bit-identical): fmajor
+# 20.18 ms/step vs fminor 21.01 (0.96x) — with f minor the output block
+# jumps across the stacked field dim every grid step and the write-side
+# pipelining loses more than the read-side revisiting saves. Default
+# stays fmajor; probe via XFB_KA_ORDER=fminor.
+KA_FIELD_MINOR = _os.environ.get("XFB_KA_ORDER", "fmajor") == "fminor"
+
+
+def _ka_field_minor() -> bool:
+    return KA_FIELD_MINOR
+
 
 def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
                     ar_ref, ai_ref, br_ref, bi_ref, e_ref,
@@ -482,19 +497,36 @@ def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
     in_specs = [spec_in] * 3 + [kx_spec, ky_spec] + tab_spec
     if QUAD_MODE == "grid":
         ar, ai, br, bi, e = _stack_factors(kx, ky, nx, hny)
-        rvec_spec = pl.BlockSpec((1, nx, 1), lambda f, i: (f, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        cvec_spec = pl.BlockSpec((1, 1, BLOCK), lambda f, i: (f, 0, i),
-                                 memory_space=pltpu.VMEM)
-        e_spec = pl.BlockSpec((1, 1, 1), lambda f, i: (f, 0, 0),
-                              memory_space=pltpu.VMEM)
-        g2 = (4, pl.cdiv(hny, BLOCK))
-        sp2 = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+        if _ka_field_minor():
+            # grid (blocks, FIELDS): the field axis is MINOR, so the
+            # (zr, zi, rlap) block index is unchanged across the 4
+            # consecutive field steps and the Pallas pipeline skips the
+            # re-fetch (block revisiting) — the state+rlap HBM reads
+            # drop 4x (~13% of the 4096² step's total traffic,
+            # BASELINE.md roofline entry). Bit-identical output order.
+            def _f(a, b):          # raw grid args (i, f) -> (f, i)
+                return b, a
+        else:
+            def _f(a, b):          # raw grid args (f, i) -> (f, i)
+                return a, b
+        rvec_spec = pl.BlockSpec(
+            (1, nx, 1), lambda a, b: (_f(a, b)[0], 0, 0),
+            memory_space=pltpu.VMEM)
+        cvec_spec = pl.BlockSpec(
+            (1, 1, BLOCK), lambda a, b: (_f(a, b)[0], 0, _f(a, b)[1]),
+            memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec(
+            (1, 1, 1), lambda a, b: (_f(a, b)[0], 0, 0),
+            memory_space=pltpu.VMEM)
+        g2 = ((pl.cdiv(hny, BLOCK), 4) if _ka_field_minor()
+              else (4, pl.cdiv(hny, BLOCK)))
+        sp2 = pl.BlockSpec((nx, BLOCK), lambda a, b: (0, _f(a, b)[1]),
                            memory_space=pltpu.VMEM)
-        t2 = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+        t2 = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
                            memory_space=pltpu.VMEM) for t in tables]
-        ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
-                               memory_space=pltpu.VMEM)
+        ow_spec = pl.BlockSpec(
+            (1, BLOCK, nx), lambda a, b: (_f(a, b)[0], _f(a, b)[1], 0),
+            memory_space=pltpu.VMEM)
         wr, wi = pl.pallas_call(
             functools.partial(_ka_diag_kernel, nx),
             grid=g2,
