@@ -185,6 +185,37 @@ def test_runner_ensemble_checkpoint_resume(tmp_path):
                                atol=1e-12)
 
 
+def test_ensemble_script_forcing_shared_across_members(tmp_path):
+    """SCRIPT forcing drives the whole ensemble with ONE shared source
+    stream (SURVEY.md §3.2 protocol): forced zero-amp members must match
+    a forced solo run."""
+    cfg = _cfg(dt=3.0, record_step=5, total_steps=10,
+               input_dir=str(tmp_path / "input"),
+               output_dir=str(tmp_path / "output"))
+    Path(cfg.input_dir).mkdir(parents=True)
+    vort0 = np.asarray(makefields.gaussian(cfg, zeta0=2e-3))
+    write_field(Path(cfg.input_dir) / cfg.init_file, vort0)
+    src_field = (0.1 * vort0).astype(np.float32)
+    write_field(tmp_path / "s.bin", src_field)
+    script = tmp_path / "recipe.txt"
+    script.write_text(f"9.0 {tmp_path}/s.bin\n")   # fires at step 3
+
+    res = runner.run(cfg, recipe="script", src_path=str(script),
+                     manifest_path=str(tmp_path / "log"),
+                     ensemble=2, ensemble_amp=0.0)
+    solo_cfg = ModelConfig(nx=64, ny=64, dt=3.0, record_step=5,
+                           total_steps=10, input_dir=cfg.input_dir,
+                           output_dir=str(tmp_path / "solo_out"),
+                           fft_backend="xla")
+    runner.run(solo_cfg, recipe="script", src_path=str(script),
+               manifest_path=str(tmp_path / "solo_log"))
+    a = read_field(Path(cfg.output_dir) / "m01" / "vort_step_5.bin",
+                   (64, 64))
+    b = read_field(Path(solo_cfg.output_dir) / "vort_step_5.bin", (64, 64))
+    np.testing.assert_allclose(a, b, atol=1e-6 * np.abs(b).max())
+    assert res.steps_run == 10
+
+
 def test_ensemble_rejects_shard_and_fd():
     cfg = _cfg()
     with pytest.raises(ValueError, match="mutually exclusive"):
