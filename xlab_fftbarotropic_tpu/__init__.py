@@ -12,4 +12,14 @@ multi-chip FFTs rather than translated from the serial C++/FFTW code.
 from .config import ModelConfig
 
 __version__ = "0.1.0"
-__all__ = ["ModelConfig"]
+__all__ = ["ModelConfig", "adjoint"]
+
+
+def __getattr__(name):
+    # Lazy (PEP 562): the package root must stay jax-free so the CLI
+    # entry points can pin the platform (cli/_platform.py) BEFORE the
+    # first jax import — `from . import adjoint` here would defeat that.
+    if name == "adjoint":
+        import importlib
+        return importlib.import_module(".adjoint", __name__)
+    raise AttributeError(name)
