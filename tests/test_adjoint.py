@@ -131,6 +131,37 @@ def test_segmented_rollout_matches_unsegmented():
     np.testing.assert_allclose(g[0], g[2], rtol=1e-4, atol=1e-12)
 
 
+@pytest.mark.parametrize("decomp,mesh_shape", [
+    ("slab", None), ("xpencil", None), ("pencil", (2, 4))])
+def test_sharded_gradient_matches_single_device(decomp, mesh_shape):
+    """Backprop through shard_map + distributed FFTs == single-device
+    adjoint, for every decomposition (the collective transpose rules)."""
+    from xlab_fftbarotropic_tpu.parallel.model import make_mesh
+    from xlab_fftbarotropic_tpu.parallel import pencil
+
+    cfg = _cfg()
+    ic = _smooth_ic(cfg)
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    n = 3
+    target = adjoint.make_rollout(cfg, n)(0.9 * ic, src)
+
+    def misfit(roll):
+        return lambda v, s: 0.5 * jnp.mean(
+            jnp.square(roll(v, s) - target))
+
+    g_single = jax.grad(misfit(adjoint.make_rollout(cfg, n)))(ic, src)
+
+    mesh = (make_mesh() if mesh_shape is None
+            else pencil.make_pencil_mesh(mesh_shape))
+    roll = adjoint.make_sharded_rollout(cfg, n, mesh, decomp=decomp)
+    g_sharded = jax.grad(misfit(roll))(ic, src)
+
+    scale = float(jnp.max(jnp.abs(g_single)))
+    np.testing.assert_allclose(np.asarray(g_sharded),
+                               np.asarray(g_single),
+                               rtol=0, atol=1e-4 * scale)
+
+
 def test_fit_initial_condition_recovers_truth():
     cfg = _cfg()
     truth = jnp.asarray(0.1 * gaussian(cfg))   # peak zeta 1e-4

@@ -139,6 +139,66 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
     return functools.partial(jitted, t)
 
 
+def make_sharded_rollout(cfg: ModelConfig, n_steps: int, mesh,
+                         axis=None, decomp: str = "slab",
+                         segment: Optional[int] = None) -> Callable:
+    """Multi-chip differentiable rollout (barotropic family).
+
+    Same contract as make_rollout — ``rollout(vort0, src) -> final
+    physical vorticity``, differentiable wrt both physical-space
+    arguments — but the whole chain (distributed forward FFT, the
+    checkpointed RK4 scan, distributed inverse FFT) runs inside ONE
+    shard_map over `mesh` with the chosen decomposition
+    (slab/xpencil/pencil, parallel/model.py:_decomp_setup). Backprop
+    works because shard_map registers transpose rules for the XLA
+    collectives the distributed FFTs are built from (an all_to_all
+    transposes to the opposite all_to_all); the Pallas DMA impls are
+    forward-only, so this always uses fft_impl="xla".
+
+    Inputs may be host arrays (jit shards them per the decomposition's
+    specs) or pre-sharded global arrays; the output is sharded like the
+    physical input.
+    """
+    from jax.sharding import NamedSharding
+    from .parallel import model as pmodel
+    try:  # jax >= 0.4.35 exposes shard_map at top level
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+    if axis is None:
+        axis = pmodel.AXIS
+    (t, fwd, inv, tspec, sspec, pspec, hpad,
+     axis) = pmodel._decomp_setup(cfg, mesh, axis, "xla", decomp)
+    g = cfg.grid_shape
+    dt, nu = float(cfg.dt), float(cfg.nu)
+
+    def local(tl, vort0, src):
+        z = fwd(jnp.asarray(vort0, jnp.float32))
+        step = lambda zh: bt.rk4_step(tl, zh, src, dt, nu, g,
+                                      fwd=fwd, inv=inv)
+        z = _checkpointed_scan(step, z, n_steps, segment)
+        return inv(z, g)
+
+    # check_vma=False: the varying-mesh-axis tracker mistypes the FFT
+    # cotangents under transpose (cotangent carries {V:axis}, the primal
+    # output doesn't), rejecting an otherwise-correct backward pass; the
+    # sharded/single-device gradient differential in tests/test_adjoint.py
+    # is the actual correctness gate.
+    sm = shard_map(local, mesh=mesh, in_specs=(tspec, pspec, pspec),
+                   out_specs=pspec, check_vma=False)
+    jitted = jax.jit(sm)
+
+    phys = NamedSharding(mesh, pspec)
+
+    def rollout(vort0, src):
+        vort0 = jax.device_put(jnp.asarray(vort0, jnp.float32), phys)
+        src = jax.device_put(jnp.asarray(src, jnp.float32), phys)
+        return jitted(t, vort0, src)
+
+    return rollout
+
+
 def final_state_misfit(cfg: ModelConfig, target, n_steps: int,
                        model_kind: str = "barotropic",
                        segment: Optional[int] = None,
