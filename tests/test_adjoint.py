@@ -162,6 +162,36 @@ def test_sharded_gradient_matches_single_device(decomp, mesh_shape):
                                rtol=0, atol=1e-4 * scale)
 
 
+def test_assimilate_cli_end_to_end(tmp_path):
+    """xfb-assimilate: target + corrupted guess -> recovered IC file."""
+    from xlab_fftbarotropic_tpu.cli import assimilate
+    from xlab_fftbarotropic_tpu.io.fieldio import read_field, write_field
+
+    cfg = _cfg()
+    truth = np.asarray(0.1 * gaussian(cfg))
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    n = 5
+    target = np.asarray(adjoint.make_rollout(cfg, n)(jnp.asarray(truth),
+                                                     src))
+    write_field(str(tmp_path / "target.bin"), target)
+    write_field(str(tmp_path / "guess.bin"), 0.5 * truth)
+
+    assimilate.main([
+        "--nx", "32", "--ny", "32", "--lx", "600000", "--ly", "600000",
+        "--dt", "3.0", "--nu", "6.5",
+        "--target", str(tmp_path / "target.bin"),
+        "--guess", str(tmp_path / "guess.bin"),
+        "--out", str(tmp_path / "recovered.bin"),
+        "--steps", str(n), "--iters", "60", "--lr", "1e-5"])
+
+    rec = read_field(str(tmp_path / "recovered.bin"), cfg.grid_shape)
+    losses = np.loadtxt(tmp_path / "recovered.bin.loss.txt")
+    assert losses[-1] < 1e-2 * losses[0]
+    e0 = np.linalg.norm(0.5 * truth - truth)
+    e1 = np.linalg.norm(np.asarray(rec) - truth)
+    assert e1 < 0.2 * e0
+
+
 def test_fit_initial_condition_recovers_truth():
     cfg = _cfg()
     truth = jnp.asarray(0.1 * gaussian(cfg))   # peak zeta 1e-4
