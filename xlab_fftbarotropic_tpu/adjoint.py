@@ -97,11 +97,13 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
     t = sp.SpectralTables.from_config(cfg)
     g = cfg.grid_shape
     dt, nu = float(cfg.dt), float(cfg.nu)
+    r_drag = float(cfg.r_drag)
 
     if model_kind == "barotropic":
         def raw(tables, vort0, src):
             z = fft.forward(jnp.asarray(vort0, jnp.float32))
-            step = lambda zh: bt.rk4_step(tables, zh, src, dt, nu, g)
+            step = lambda zh: bt.rk4_step(tables, zh, src, dt, nu, g,
+                                          r_drag=r_drag)
             z = _checkpointed_scan(step, z, n_steps, segment)
             return fft.inverse(z, g)
     elif model_kind == "sw":
@@ -116,7 +118,7 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
             s = sw.SWState(zeta_hat=zh, div_hat=jnp.zeros_like(zh),
                            eta_hat=eta)
             step = lambda st: sw.rk4_step(tables, st, src, dt, f, grav,
-                                          nu, H, g)
+                                          nu, H, g, r_drag=r_drag)
             s = _checkpointed_scan(step, s, n_steps, segment)
             return (fft.inverse(s.zeta_hat, g), fft.inverse(s.div_hat, g),
                     fft.inverse(s.eta_hat, g))
@@ -127,7 +129,8 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
             vort0, q0 = ic
             s = tr.TracerState(fft.forward(jnp.asarray(vort0, jnp.float32)),
                                fft.forward(jnp.asarray(q0, jnp.float32)))
-            step = lambda st: tr.rk4_step(tables, st, src, dt, nu, kappa, g)
+            step = lambda st: tr.rk4_step(tables, st, src, dt, nu, kappa,
+                                          g, r_drag=r_drag)
             s = _checkpointed_scan(step, s, n_steps, segment)
             return fft.inverse(s.zeta_hat, g), fft.inverse(s.q_hat, g)
     else:
@@ -172,11 +175,12 @@ def make_sharded_rollout(cfg: ModelConfig, n_steps: int, mesh,
      axis) = pmodel._decomp_setup(cfg, mesh, axis, "xla", decomp)
     g = cfg.grid_shape
     dt, nu = float(cfg.dt), float(cfg.nu)
+    r_drag = float(cfg.r_drag)
 
     def local(tl, vort0, src):
         z = fwd(jnp.asarray(vort0, jnp.float32))
         step = lambda zh: bt.rk4_step(tl, zh, src, dt, nu, g,
-                                      fwd=fwd, inv=inv)
+                                      fwd=fwd, inv=inv, r_drag=r_drag)
         z = _checkpointed_scan(step, z, n_steps, segment)
         return inv(z, g)
 

@@ -39,6 +39,13 @@ class ModelConfig:
     rho: float = 1.0            # density [kg/m^3]
     f: float = 1e-5             # Coriolis parameter [1/s]
     nu: float = 6.5             # Laplacian viscosity [m^2/s]
+    # Boundary-layer feedback (the reference's unimplemented TODO.md:11
+    # "Add boundary layer feedback mechanism"): linear Ekman/Rayleigh
+    # spin-down -r_drag*zeta on the vorticity equation (and -r_drag on
+    # the SW divergence equation — surface drag on the momentum). 0
+    # disables it exactly (default; bit-identical to the reference
+    # contract). Units [1/s]; e-folding time = 1/r_drag.
+    r_drag: float = 0.0
 
     # --- domain (configuration.hpp:13-16) ---
     lx: float = 600_000.0       # domain length in x [m]
@@ -178,8 +185,19 @@ def add_config_args(parser, defaults: Optional[ModelConfig] = None):
     parser.add_argument("--ly", type=float, default=d.ly)
     parser.add_argument("--dt", type=float, default=d.dt)
     parser.add_argument("--nu", type=float, default=d.nu)
+    parser.add_argument("--r-drag", type=float, default=d.r_drag,
+                        dest="r_drag",
+                        help="boundary-layer (Ekman/Rayleigh) drag "
+                             "coefficient [1/s]; 0 disables")
     parser.add_argument("--coriolis-f", type=float, default=d.f, dest="f")
     parser.add_argument("--rho", type=float, default=d.rho)
+    parser.add_argument("--gravity", type=float, default=d.gravity,
+                        help="g [m/s^2] (shallow-water family)")
+    parser.add_argument("--mean-depth", type=float, default=d.mean_depth,
+                        dest="mean_depth",
+                        help="mean fluid depth H [m] (shallow-water "
+                             "family; gravity-wave speed sqrt(gH) sets "
+                             "the CFL bound)")
     parser.add_argument("--total-steps", type=int, default=d.total_steps)
     parser.add_argument("--record-step", type=int, default=d.record_step)
     parser.add_argument("--checkpoint-step", type=int, default=d.checkpoint_step)

@@ -149,7 +149,8 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             deriv_quad: Optional[Callable] = None) -> jax.Array:
+             deriv_quad: Optional[Callable] = None,
+             r_drag: float = 0.0) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
@@ -188,7 +189,14 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
             v = inv(sp.gradx(t, psi_hat), grid_shape)
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
     dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
-    return dvortdt_hat + lvort_hat * nu              # main.cpp:240-243
+    out = dvortdt_hat + lvort_hat * nu               # main.cpp:240-243
+    if r_drag != 0.0:
+        # boundary-layer feedback (reference TODO.md:11, never
+        # implemented there): Ekman/Rayleigh spin-down -r*zeta, applied
+        # to the stage state like the viscous term. Static branch: the
+        # default r_drag=0 traces the exact pre-drag computation.
+        out = out - zeta_hat * r_drag
+    return out
 
 
 def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
@@ -196,7 +204,8 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             deriv_quad: Optional[Callable] = None) -> jax.Array:
+             deriv_quad: Optional[Callable] = None,
+             r_drag: float = 0.0) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
@@ -205,7 +214,7 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     """
     d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
                           fwd=fwd, inv=inv, inv_pair=inv_pair,
-                          deriv_quad=deriv_quad)
+                          deriv_quad=deriv_quad, r_drag=r_drag)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
@@ -356,8 +365,10 @@ class BarotropicModel:
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
+        r_drag = float(cfg.r_drag)
         resolved = resolve_fft_backend_name(cfg.fft_backend, g)
         fwd, inv, inv_pair, deriv_quad = resolve_fft_backend(resolved, g)
+        t_step = t
 
         # The coefficient tables are passed as jit ARGUMENTS (bound via
         # partial), not closed over: closure arrays get embedded as MLIR
@@ -370,6 +381,17 @@ class BarotropicModel:
             # y-first forward order the forcing field is transposed to
             # y-major ONCE per jit call, outside the scan.
             from ..ops import pallas_fft as _pf
+
+            if r_drag != 0.0:
+                # Fold the Ekman drag into the viscous multiplier: the
+                # plane kernels' only linear term is nu*lap*z (the VISC
+                # epilogue of forward_tendency), so lap := nu*lap - r
+                # with nu := 1 applies the exact (nu*lap - r)*zeta_hat
+                # operator without touching any kernel. derivative_quad
+                # reads only kx/ky/rlap, which stay untouched; diags/
+                # stats below are bound to the ORIGINAL tables.
+                t_step = dataclasses.replace(t, lap=t.lap * nu - r_drag)
+                nu = 1.0
 
             def _src_layout(src):
                 return jnp.transpose(src) if _pf.fwd_yfirst_active() \
@@ -399,14 +421,15 @@ class BarotropicModel:
             def step_(t, zeta_hat, src):
                 return rk4_step(t, zeta_hat, src, dt, nu, g,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
-                                deriv_quad=deriv_quad)
+                                deriv_quad=deriv_quad, r_drag=r_drag)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, zeta_hat, src, n_steps: int):
                 def body(z, _):
                     return rk4_step(t, z, src, dt, nu, g,
                                     fwd=fwd, inv=inv, inv_pair=inv_pair,
-                                    deriv_quad=deriv_quad), None
+                                    deriv_quad=deriv_quad,
+                                    r_drag=r_drag), None
                 z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
                 return z
 
@@ -423,10 +446,10 @@ class BarotropicModel:
             return debug_fields(t, zeta_hat, src, g)
 
         def segment(zeta_hat, src, n_steps: int):
-            return segment_(t, zeta_hat, src, n_steps)
+            return segment_(t_step, zeta_hat, src, n_steps)
 
         return cls(cfg=cfg, tables=t,
-                   step=functools.partial(step_, t),
+                   step=functools.partial(step_, t_step),
                    segment=segment,
                    diags=functools.partial(diags_, t),
                    stats=functools.partial(stats_, t),

@@ -172,6 +172,7 @@ class FDBarotropicModel:
         solver='jacobi': the reference-parity iterative relaxation."""
         dx, dy = float(cfg.dx), float(cfg.dy)
         dt, nu = float(cfg.dt), float(cfg.nu)
+        r_drag = float(cfg.r_drag)
         if solver == "fft":
             def solve(rhs_z, guess):
                 return poisson_fft(rhs_z, dx, dy)
@@ -182,8 +183,13 @@ class FDBarotropicModel:
             raise ValueError(f"unknown solver {solver!r}")
 
         def rhs(zeta, psi):
-            return -arakawa_jacobian(psi, zeta, dx, dy) \
+            out = -arakawa_jacobian(psi, zeta, dx, dy) \
                 + nu * laplacian5(zeta, dx, dy)
+            if r_drag != 0.0:
+                # boundary-layer feedback, same linear spin-down as the
+                # spectral cores (models/barotropic.py:tendency)
+                out = out - r_drag * zeta
+            return out
 
         def rk4(zeta, psi_guess, src):
             psi1 = solve(zeta, psi_guess)

@@ -83,8 +83,15 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              fwd_pair: Optional[Callable] = None,
-             split: bool = False) -> SWState:
+             split: bool = False,
+             r_drag: float = 0.0) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
+
+    r_drag != 0 adds the boundary-layer feedback (reference TODO.md:11):
+    linear surface drag -r*u_vec on the momentum, i.e. -r*zeta on the
+    vorticity and -r*delta on the divergence equation; the mass (eta)
+    equation is untouched. Static branch — the default traces the exact
+    pre-drag computation.
 
     On the default single-device FFT path the 4 inverse transforms are
     Hermitian-PAIRED into 2 complex c2c transforms (ops/fft.py:inverse_pair
@@ -142,6 +149,9 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
         fz = f * jnp.where(t.lap != 0.0, 1.0, 0.0)
         dzeta = dzeta - fz * s.div_hat
         ddiv = ddiv + fz * s.zeta_hat - g * sp.laplacian(t, s.eta_hat)
+    if r_drag != 0.0:
+        dzeta = dzeta - r_drag * s.zeta_hat
+        ddiv = ddiv - r_drag * s.div_hat
     return SWState(zeta_hat=dzeta, div_hat=ddiv, eta_hat=deta)
 
 
@@ -160,14 +170,15 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              fwd_pair: Optional[Callable] = None,
-             split: bool = False) -> SWState:
+             split: bool = False,
+             r_drag: float = 0.0) -> SWState:
     """Classic RK4 with per-stage dealiased tendencies — the same stepping
     contract as the barotropic core (main.cpp:286-317)."""
     d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
                           mean_depth=mean_depth,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
                           inv_pair=inv_pair, fwd_pair=fwd_pair,
-                          split=split)
+                          split=split, r_drag=r_drag)
     k1 = _dealias_state(t, d(s))
     k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
     k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
@@ -310,7 +321,21 @@ class ShallowWaterModel:
         # Tables are jit ARGUMENTS bound via partial, not closure constants
         # (see models/barotropic.py note: avoids lowering-time device
         # fetches and executable bloat).
-        if resolved == "pallas" and use_plane_stepper(g_shape):
+        r_drag = float(cfg.r_drag)
+        if r_drag != 0.0 and resolved == "pallas" \
+                and use_plane_stepper(g_shape):
+            # The SW plane kernels use the lap table for the pressure
+            # term and the mean-mode f-masking too, so the barotropic
+            # drag-fold trick (lap := nu*lap - r) would corrupt them;
+            # drag runs take the per-transform path instead.
+            import warnings
+            warnings.warn(
+                "r_drag != 0: the fused SW plane stepper does not carry "
+                "the drag term — falling back to the per-transform "
+                "pipeline for this run", stacklevel=2)
+
+        if resolved == "pallas" and use_plane_stepper(g_shape) \
+                and r_drag == 0.0:
             # fully fused plane-state stepper (ops/pallas_sw.py): the SW
             # counterpart of the barotropic rk4_step_planes path —
             # complex <-> (re, im) conversion and the forcing forward
@@ -372,7 +397,8 @@ class ShallowWaterModel:
             def step_(t, s: SWState, src):
                 return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
-                                fwd_pair=fwd_pair, split=split)
+                                fwd_pair=fwd_pair, split=split,
+                                r_drag=r_drag)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, s: SWState, src, n_steps: int):
@@ -380,7 +406,8 @@ class ShallowWaterModel:
                     return rk4_step(t, state, src, dt, f, grav, nu, H,
                                     g_shape, fwd=fwd, inv=inv,
                                     inv_pair=inv_pair,
-                                    fwd_pair=fwd_pair, split=split), None
+                                    fwd_pair=fwd_pair, split=split,
+                                    r_drag=r_drag), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
 
@@ -423,7 +450,8 @@ class ShallowWaterModel:
             from .barotropic import DebugFields
             dvdx = fft.inverse(sp.gradx(t, s.zeta_hat), g_shape)
             dvdy = fft.inverse(sp.grady(t, s.zeta_hat), g_shape)
-            dz = tendency(t, s, src, f, grav, nu, H, g_shape).zeta_hat
+            dz = tendency(t, s, src, f, grav, nu, H, g_shape,
+                          r_drag=r_drag).zeta_hat
             return DebugFields(dvortdx=dvdx, dvortdy=dvdy,
                                dvortdt=fft.inverse(dz, g_shape))
 

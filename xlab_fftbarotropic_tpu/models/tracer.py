@@ -68,8 +68,13 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
              nu: float, kappa: float, grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> TracerState:
-    """Un-dealiased joint tendency (zeta per main.cpp:146-244; q passive)."""
+             inv_pair: Optional[Callable] = None,
+             r_drag: float = 0.0) -> TracerState:
+    """Un-dealiased joint tendency (zeta per main.cpp:146-244; q passive).
+
+    r_drag != 0 adds the Ekman spin-down -r*zeta to the FLOW only — a
+    passive tracer feels the boundary layer through the decaying
+    velocities, not through its own concentration."""
     zeta_hat, q_hat = state
     lvort_hat = sp.laplacian(t, zeta_hat)
     lq_hat = sp.laplacian(t, q_hat)
@@ -84,6 +89,8 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
     dqdx, dqdy = inv_pair(sp.gradx(t, q_hat), sp.grady(t, q_hat),
                           grid_shape)
     dzeta = fwd(-u * dvdx - v * dvdy + src) + lvort_hat * nu
+    if r_drag != 0.0:
+        dzeta = dzeta - zeta_hat * r_drag
     dq = fwd(-u * dqdx - v * dqdy) + lq_hat * kappa
     return TracerState(dzeta, dq)
 
@@ -93,12 +100,13 @@ def rk4_step(t: SpectralTables, state: TracerState, src: jax.Array,
              grid_shape: Tuple[int, int],
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
-             inv_pair: Optional[Callable] = None) -> TracerState:
+             inv_pair: Optional[Callable] = None,
+             r_drag: float = 0.0) -> TracerState:
     """Joint RK4 (main.cpp:286-317 structure); both stage tendencies are
     dealiased, the states never are; src fixed across stages."""
     d = functools.partial(tendency, t, src=src, nu=nu, kappa=kappa,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
-                          inv_pair=inv_pair)
+                          inv_pair=inv_pair, r_drag=r_drag)
 
     def dl(s):
         r = d(s)
@@ -172,16 +180,20 @@ class TracerModel:
         resolved = resolve_fft_backend_name(cfg.fft_backend, g)
         fwd, inv, inv_pair, _ = resolve_fft_backend(resolved, g)
 
+        r_drag = float(cfg.r_drag)
+
         @functools.partial(jax.jit, static_argnames=())
         def step_(t_, state, src):
             return rk4_step(t_, state, src, dt, nu, kp, g,
-                            fwd=fwd, inv=inv, inv_pair=inv_pair)
+                            fwd=fwd, inv=inv, inv_pair=inv_pair,
+                            r_drag=r_drag)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def segment_(t_, state, src, n_steps: int):
             def body(s, _):
                 return rk4_step(t_, s, src, dt, nu, kp, g, fwd=fwd,
-                                inv=inv, inv_pair=inv_pair), None
+                                inv=inv, inv_pair=inv_pair,
+                                r_drag=r_drag), None
             out, _ = jax.lax.scan(body, state, None, length=n_steps)
             return out
 

@@ -198,17 +198,19 @@ class ShardedBarotropicModel:
               decomp: str = "slab") -> "ShardedBarotropicModel":
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
+        r_drag = float(cfg.r_drag)
         (t, fwd, inv, tspec, sspec, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
 
         def step_local(tl, zeta_hat, src):
             return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
-                                       fwd=fwd, inv=inv)
+                                       fwd=fwd, inv=inv, r_drag=r_drag)
 
         def segment_local(tl, zeta_hat, src, n_steps: int):
             def body(z, _):
                 return barotropic.rk4_step(tl, z, src, dt, nu, g,
-                                           fwd=fwd, inv=inv), None
+                                           fwd=fwd, inv=inv,
+                                           r_drag=r_drag), None
             z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
             return z
 
@@ -360,13 +362,14 @@ class ShardedShallowWaterModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
+        r_drag = float(cfg.r_drag)
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
 
         def step_local(tl, s, src):
             return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
-                               fwd=fwd, inv=inv)
+                               fwd=fwd, inv=inv, r_drag=r_drag)
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
@@ -379,7 +382,8 @@ class ShardedShallowWaterModel:
             def seg_local(tl, s, src):
                 def body(state, _):
                     return sw.rk4_step(tl, state, src, dt, f, grav, nu, H,
-                                       g, fwd=fwd, inv=inv), None
+                                       g, fwd=fwd, inv=inv,
+                                       r_drag=r_drag), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
@@ -497,12 +501,14 @@ class ShardedTracerModel:
 
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
+        r_drag = float(cfg.r_drag)
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = tr.TracerState(zeta_hat=spec1, q_hat=spec1)
 
         def step_local(tl, s, src):
-            return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv)
+            return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv,
+                               r_drag=r_drag)
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
@@ -515,7 +521,8 @@ class ShardedTracerModel:
             def seg_local(tl, s, src):
                 def body(state, _):
                     return tr.rk4_step(tl, state, src, dt, nu, kp, g,
-                                       fwd=fwd, inv=inv), None
+                                       fwd=fwd, inv=inv,
+                                       r_drag=r_drag), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
