@@ -409,3 +409,28 @@ def test_profile_dir_flag_writes_trace(tmp_path):
                   "--manifest", str(tmp_path / "log")])
     prof = trace_dir / "plugins" / "profile"
     assert prof.is_dir() and any(prof.iterdir())
+
+
+def test_step_banner_parity(tmp_path, capsys):
+    """--step-banners restores the reference's EVERY-step stderr banner
+    (main.cpp:262-264): one '# Step N, time = T' line per step, with the
+    ', record now!' suffix exactly at record boundaries."""
+    cfg = make_cfg(tmp_path)
+    vort0 = makefields.gaussian(cfg)
+    run(cfg, vort0, manifest_path=str(tmp_path / "log"),
+        step_banners=True)
+    err = [ln for ln in capsys.readouterr().err.splitlines()
+           if ln.startswith("# Step ")]
+    # reference prints steps 0..total_steps-1; scan segments emit their
+    # banners in bursts, but content and per-line format must match
+    assert sorted(err) != []
+    by_step = {}
+    for ln in err:
+        n = int(ln.split()[2].rstrip(","))
+        by_step[n] = ln
+    assert sorted(by_step) == list(range(cfg.total_steps))
+    for n, ln in by_step.items():
+        expect = f"# Step {n}, time = {n * cfg.dt:.2f}"
+        if n % cfg.record_step == 0:
+            expect += ", record now!"
+        assert ln == expect, ln

@@ -52,6 +52,12 @@ def main(argv=None):
                         "#ifdef dumps, main.cpp:156-176,216-235)")
     p.add_argument("--manifest", default="log",
                    help="manifest path (the reference's `log` file)")
+    p.add_argument("--step-banners", action="store_true",
+                   help="print the reference's per-step '# Step N' stderr "
+                        "banner for EVERY step (main.cpp:262-264), not "
+                        "just record boundaries; intermediate steps run "
+                        "inside a jitted scan, so their banners are "
+                        "emitted in a burst when each segment completes")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fast-transforms", action="store_true",
                    help="single-pass bf16 matmuls inside the Pallas "
@@ -190,7 +196,8 @@ def main(argv=None):
                      ensemble=args.ensemble,
                      ensemble_amp=args.ensemble_amp,
                      ensemble_seed=args.ensemble_seed,
-                     ensemble_width=args.ensemble_width)
+                     ensemble_width=args.ensemble_width,
+                     step_banners=args.step_banners)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

@@ -399,7 +399,8 @@ def run(cfg: ModelConfig,
         ensemble: int = 0,
         ensemble_amp: float = 0.05,
         ensemble_seed: int = 0,
-        ensemble_width=None) -> RunResult:
+        ensemble_width=None,
+        step_banners: bool = False) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -415,8 +416,11 @@ def run(cfg: ModelConfig,
     writes — records, manifest, checkpoints — happen only on the primary
     rank (multihost.is_primary). Per-step banner note: the reference prints
     "# Step %d" EVERY step (main.cpp:262-264); here steps between record
-    points run inside one jitted scan with no host round-trip, so the
-    banner appears at record boundaries only (deliberate deviation).
+    points run inside one jitted scan with no host round-trip, so by
+    default the banner appears at record boundaries only.
+    step_banners=True restores full reference stdout parity: the
+    intermediate steps' banners are emitted when their segment completes
+    (same lines, same order, printed in a burst per segment).
     """
     adapter = make_adapter(cfg, model_kind, model, shard=shard,
                            shard_fft=shard_fft, decomp=decomp,
@@ -478,9 +482,12 @@ def run(cfg: ModelConfig,
             if record and step % cfg.record_step == 0:
                 do_record(step, state, src_np, src)
                 note_stats(step, state)
-                if progress and primary:
+                if (progress or step_banners) and primary:
                     print(f"# Step {step}, time = {step * cfg.dt:.2f}, "
                           f"record now!", file=sys.stderr)
+            elif step_banners and primary:
+                print(f"# Step {step}, time = {step * cfg.dt:.2f}",
+                      file=sys.stderr)
             if cfg.checkpoint_step and step % cfg.checkpoint_step == 0 and \
                     step > start_step:
                 packed = adapter.pack(state)       # collective gather
@@ -518,6 +525,12 @@ def run(cfg: ModelConfig,
                         boundaries.append(nxt)
                 n = max(1, min(boundaries) - step)
                 state = adapter.segment(state, src, n)
+                if step_banners and primary:
+                    # the scanned steps never reach the loop head; emit
+                    # their reference-format banners now (main.cpp:262-264)
+                    for k in range(step + 1, step + n):
+                        print(f"# Step {k}, time = {k * cfg.dt:.2f}",
+                              file=sys.stderr)
                 step += n
 
         jax.block_until_ready(state)
