@@ -300,3 +300,25 @@ def test_ka_field_minor_order_bit_identical(monkeypatch):
                                                 ymajor=True)
     for a, b in zip(outs[True], outs[False]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode", ["half", "full"])
+def test_fusekb_bit_identical(mode, monkeypatch):
+    """The KB+advection fusion (physical fields never in HBM) composes
+    the exact same kernel math as the unfused 2x KB + KY_adv pipeline —
+    a 5-step forced plane-stepper trajectory must be BIT-identical."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    cfg = ModelConfig(nx=128, ny=128, fft_backend="pallas")
+    v0 = makefields.kuo2004(cfg)
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(
+        1e-6 * rng.standard_normal(cfg.grid_shape).astype(np.float32))
+    monkeypatch.setattr(bt, "PLANE_STEPPER", True)
+    monkeypatch.setattr(pf, "FUSEKB", "0")
+    m0 = bt.BarotropicModel.build(cfg)
+    z0 = m0.segment(m0.init_state(v0), src, 5)
+    monkeypatch.setattr(pf, "FUSEKB", mode)
+    m1 = bt.BarotropicModel.build(cfg)
+    z1 = m1.segment(m1.init_state(v0), src, 5)
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))

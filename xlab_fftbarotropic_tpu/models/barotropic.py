@@ -243,9 +243,16 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
     from ..ops import pallas_fft as pf
 
     yfirst = pf.fwd_yfirst_active()
+    fusekb = pf.fusekb_mode() if yfirst else ""
     h = dt * 0.5
 
     def d(sr, si, axpy=None):
+        if fusekb:
+            # KB+advection fusion: the four physical fields never land
+            # in HBM (ops/pallas_fft.py KB_ADV section)
+            return pf.tendency_yfirst_fusedkb(
+                sr, si, src, t.kx, t.ky, t.rlap, t.lap, t.mask, nu,
+                grid_shape, axpy=axpy, mode=fusekb)
         dvdx, dvdy, u, v = pf.derivative_quad_planes(
             sr, si, t.kx, t.ky, t.rlap, grid_shape, ymajor=yfirst)
         if yfirst:

@@ -465,6 +465,61 @@ def _stack_factors(kx, ky, nx, hny):
     return ar, ai, br, bi, e
 
 
+def derivative_xstage_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
+                             ky: jax.Array, rlap: jax.Array,
+                             grid_shape) -> tuple:
+    """The grid-mode KA x-stage alone: ONE read of the spectral state
+    planes emitting the stacked (4, hny, nx) mixed-domain planes
+    (wr, wi) of (i kx Z, i ky Z, -i ky psi, i kx psi) — consumed by the
+    KB pair y-stages (derivative_quad_planes) or by the fused
+    KB+advection kernel (kb_adv_full / kb_adv_half)."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
+    ar, ai, br, bi, e = _stack_factors(kx, ky, nx, hny)
+    if _ka_field_minor():
+        # grid (blocks, FIELDS): the field axis is MINOR, so the
+        # (zr, zi, rlap) block index is unchanged across the 4
+        # consecutive field steps and the Pallas pipeline skips the
+        # re-fetch (block revisiting) — the state+rlap HBM reads
+        # drop 4x (~13% of the 4096² step's total traffic,
+        # BASELINE.md roofline entry). Bit-identical output order.
+        def _f(a, b):          # raw grid args (i, f) -> (f, i)
+            return b, a
+    else:
+        def _f(a, b):          # raw grid args (f, i) -> (f, i)
+            return a, b
+    rvec_spec = pl.BlockSpec(
+        (1, nx, 1), lambda a, b: (_f(a, b)[0], 0, 0),
+        memory_space=pltpu.VMEM)
+    cvec_spec = pl.BlockSpec(
+        (1, 1, BLOCK), lambda a, b: (_f(a, b)[0], 0, _f(a, b)[1]),
+        memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec(
+        (1, 1, 1), lambda a, b: (_f(a, b)[0], 0, 0),
+        memory_space=pltpu.VMEM)
+    g2 = ((pl.cdiv(hny, BLOCK), 4) if _ka_field_minor()
+          else (4, pl.cdiv(hny, BLOCK)))
+    sp2 = pl.BlockSpec((nx, BLOCK), lambda a, b: (0, _f(a, b)[1]),
+                       memory_space=pltpu.VMEM)
+    t2 = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
+                       memory_space=pltpu.VMEM) for t in tables]
+    ow_spec = pl.BlockSpec(
+        (1, BLOCK, nx), lambda a, b: (_f(a, b)[0], _f(a, b)[1], 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ka_diag_kernel, nx),
+        grid=g2,
+        in_specs=[sp2, sp2, sp2, rvec_spec, rvec_spec, cvec_spec,
+                  cvec_spec, e_spec] + t2,
+        out_specs=(ow_spec, ow_spec),
+        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(zr, zi, rlap, ar, ai, br, bi, e, *tables)
+
+
 def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
                            ky: jax.Array, rlap: jax.Array,
                            grid_shape, ymajor: bool = False) -> tuple:
@@ -496,48 +551,8 @@ def derivative_quad_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
     args = (zr, zi, rlap, kx.reshape(nx, 1), ky.reshape(1, hny), *tables)
     in_specs = [spec_in] * 3 + [kx_spec, ky_spec] + tab_spec
     if QUAD_MODE == "grid":
-        ar, ai, br, bi, e = _stack_factors(kx, ky, nx, hny)
-        if _ka_field_minor():
-            # grid (blocks, FIELDS): the field axis is MINOR, so the
-            # (zr, zi, rlap) block index is unchanged across the 4
-            # consecutive field steps and the Pallas pipeline skips the
-            # re-fetch (block revisiting) — the state+rlap HBM reads
-            # drop 4x (~13% of the 4096² step's total traffic,
-            # BASELINE.md roofline entry). Bit-identical output order.
-            def _f(a, b):          # raw grid args (i, f) -> (f, i)
-                return b, a
-        else:
-            def _f(a, b):          # raw grid args (f, i) -> (f, i)
-                return a, b
-        rvec_spec = pl.BlockSpec(
-            (1, nx, 1), lambda a, b: (_f(a, b)[0], 0, 0),
-            memory_space=pltpu.VMEM)
-        cvec_spec = pl.BlockSpec(
-            (1, 1, BLOCK), lambda a, b: (_f(a, b)[0], 0, _f(a, b)[1]),
-            memory_space=pltpu.VMEM)
-        e_spec = pl.BlockSpec(
-            (1, 1, 1), lambda a, b: (_f(a, b)[0], 0, 0),
-            memory_space=pltpu.VMEM)
-        g2 = ((pl.cdiv(hny, BLOCK), 4) if _ka_field_minor()
-              else (4, pl.cdiv(hny, BLOCK)))
-        sp2 = pl.BlockSpec((nx, BLOCK), lambda a, b: (0, _f(a, b)[1]),
-                           memory_space=pltpu.VMEM)
-        t2 = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
-                           memory_space=pltpu.VMEM) for t in tables]
-        ow_spec = pl.BlockSpec(
-            (1, BLOCK, nx), lambda a, b: (_f(a, b)[0], _f(a, b)[1], 0),
-            memory_space=pltpu.VMEM)
-        wr, wi = pl.pallas_call(
-            functools.partial(_ka_diag_kernel, nx),
-            grid=g2,
-            in_specs=[sp2, sp2, sp2, rvec_spec, rvec_spec, cvec_spec,
-                      cvec_spec, e_spec] + t2,
-            out_specs=(ow_spec, ow_spec),
-            out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
-                       jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
-            interpret=_interpret(),
-            compiler_params=_compiler_params(),
-        )(zr, zi, rlap, ar, ai, br, bi, e, *tables)
+        wr, wi = derivative_xstage_planes(zr, zi, kx, ky, rlap,
+                                          grid_shape)
         dvdx, dvdy = _kb_call_stacked(wr, wi, 0, 1, ny, scale,
                                       transpose_out=not ymajor)
         u, v = _kb_call_stacked(wr, wi, 2, 3, ny, scale,
@@ -653,6 +668,25 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
     instead of (m, ny)) — the layout the y-first forward pipeline reads,
     making the layout flip free (the transpose was only ever a fold into
     this write)."""
+    outr, outi = _kb_compute(
+        ny, war, wai, wbr, wbi, e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
+        e1qr_ref, e1qi_ref, twqr_ref, twqi_ref, e2r_ref, e2i_ref, alt_ref)
+    if transpose_out:
+        oa_ref[:] = outr.T
+        ob_ref[:] = outi.T
+    else:
+        oa_ref[:] = outr
+        ob_ref[:] = outi
+
+
+def _kb_compute(ny: int, war, wai, wbr, wbi,
+                e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
+                e1qr_ref, e1qi_ref, twqr_ref, twqi_ref,
+                e2r_ref, e2i_ref, alt_ref):
+    """The KB pair c2r y-stage math, returning the two physical field
+    ARRAYS y-major (ny, m) — shared by the writing wrapper (_kb_body)
+    and the fused KB+advection kernels that consume the fields in VMEM
+    without ever writing them to HBM."""
     a, _m_dig, b2 = _kb_split(ny)
     m = war.shape[1]
     half = ny // 2
@@ -703,13 +737,8 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
     outr = outr + alt[None, :, :] * p_r[half, :][None, None, :]
     outi = outi + alt[None, :, :] * p_i[half, :][None, None, :]
 
-    # y = y1 + 64*y2: (y2, y1) flatten order; transposed write (m, ny)
-    if transpose_out:
-        oa_ref[:] = outr.reshape(ny, m).T
-        ob_ref[:] = outi.reshape(ny, m).T
-    else:
-        oa_ref[:] = outr.reshape(ny, m)
-        ob_ref[:] = outi.reshape(ny, m)
+    # y = y1 + 64*y2: (y2, y1) flatten order
+    return outr.reshape(ny, m), outi.reshape(ny, m)
 
 
 def _kb_kernel(ny: int, war_ref, wai_ref, wbr_ref, wbi_ref, *rest):
@@ -787,6 +816,129 @@ def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(wr, wi, wr, wi, *tables)
+
+
+# ---------------------------------------------------------------------------
+# KB_ADV: the fused inverse-to-tendency y-stage. One kernel runs the KB
+# pair c2r y-stage for BOTH derivative pairs ((zeta_x, zeta_y) and
+# (u, v)), forms the advection product -u*zx - v*zy + S in VMEM, and
+# immediately runs the REAL-input partial y r2c (_kc_body) — the four
+# physical fields NEVER land in HBM. Replaces 2x KB + KY_adv per RK
+# stage: at 4096^2 that deletes ~536 MB of HBM traffic per stage (KB's
+# 268 MB of physical-field writes + KY_adv's 268 MB of re-reads), ~24%
+# of the plane stepper's 9.0 GB/step (BASELINE.md roofline entry).
+# 'half' variant fuses only the (u, v) pair (zx, zy still materialize):
+# half the traffic saving, a much smaller kernel body for Mosaic.
+# ---------------------------------------------------------------------------
+
+# XFB_BT_FUSEKB: '' / '0' = off, 'half', 'full'
+FUSEKB = _os.environ.get("XFB_BT_FUSEKB", "0")
+
+
+def fusekb_mode() -> str:
+    return "" if FUSEKB in ("", "0") else FUSEKB
+
+
+def _kb_adv_full_kernel(ny: int, *refs):
+    (w0r, w0i, w1r, w1i, w2r, w2i, w3r, w3i, src_ref) = refs[:9]
+    kb = refs[9:20]
+    kc = refs[20:26]
+    or_ref, oi_ref = refs[26:]
+    half = ny // 2
+
+    def fld(r):
+        return r[0, 0:half + 1, :]
+
+    zx, zy = _kb_compute(ny, fld(w0r), fld(w0i), fld(w1r), fld(w1i), *kb)
+    u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
+    adv = -(u * zx) - v * zy + src_ref[:]
+    yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
+                      kc[3][:], kc[4][:], kc[5][:])
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+def _kb_adv_half_kernel(ny: int, *refs):
+    (zx_ref, zy_ref, w2r, w2i, w3r, w3i, src_ref) = refs[:7]
+    kb = refs[7:18]
+    kc = refs[18:24]
+    or_ref, oi_ref = refs[24:]
+    half = ny // 2
+
+    def fld(r):
+        return r[0, 0:half + 1, :]
+
+    u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
+    adv = -(u * zx_ref[:]) - v * zy_ref[:] + src_ref[:]
+    yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
+                      kc[3][:], kc[4][:], kc[5][:])
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+def _kb_adv_specs(ny: int, nx: int, kb_tables, kc_tables):
+    hny = ny // 2 + 1
+
+    def fspec(f):
+        return pl.BlockSpec((1, hny, BLOCK), lambda i, f=f: (f, 0, i),
+                            memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    tab_spec = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for t in list(kb_tables) + list(kc_tables)]
+    row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return fspec, y_spec, tab_spec, row_spec
+
+
+def kb_adv_full(wr, wi, src, grid_shape):
+    """Stacked quad output (4, hny, nx) planes + y-major src (ny, nx)
+    -> forward y-stage tendency planes (nx, hny): 2x KB + advection +
+    real partial y r2c in ONE kernel (bit-identical to the composed
+    _kb_call_stacked x2 + KY_adv pipeline)."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    scale = 1.0 / (nx * ny)
+    kb_tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
+    kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
+    fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
+        ny, nx, kb_tables, kc_tables)
+    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_kb_adv_full_kernel, ny),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[fspec(0), fspec(0), fspec(1), fspec(1),
+                  fspec(2), fspec(2), fspec(3), fspec(3), y_spec]
+        + tab_spec,
+        out_specs=(row_spec, row_spec),
+        out_shape=(plane, plane),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(wr, wi, wr, wi, wr, wi, wr, wi, src, *kb_tables, *kc_tables)
+
+
+def kb_adv_half(zx, zy, wr, wi, src, grid_shape):
+    """Half fusion: zx, zy arrive y-major from a materialized KB pair;
+    the (u, v) KB pair + advection + y r2c run fused."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    scale = 1.0 / (nx * ny)
+    kb_tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
+    kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
+    fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
+        ny, nx, kb_tables, kc_tables)
+    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_kb_adv_half_kernel, ny),
+        grid=(pl.cdiv(nx, BLOCK),),
+        in_specs=[y_spec, y_spec, fspec(2), fspec(2), fspec(3), fspec(3),
+                  y_spec] + tab_spec,
+        out_specs=(row_spec, row_spec),
+        out_shape=(plane, plane),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(zx, zy, wr, wi, wr, wi, src, *kb_tables, *kc_tables)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,6 +1243,19 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
         compiler_params=_compiler_params(),
     )(u, zx, v, zy, src, *kc_tables)
 
+    return forward_tail(g1[0], g1[1], lap, mask, zr, zi, nu, grid_shape,
+                        axpy=axpy)
+
+
+def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
+                 axpy=None) -> tuple:
+    """The y-first forward pipeline's tail: KX (x c2c over hny columns)
+    + VISC (viscosity + dealias epilogue, optionally fused with the RK
+    stage axpy). Input: the forward y-stage planes (nx, hny)."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    hny = ny // 2 + 1
+    row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     ka_tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=True)]
     x_in = pl.BlockSpec((nx, BLOCK), lambda j: (0, j),
                         memory_space=pltpu.VMEM)
@@ -1107,7 +1272,7 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
                    jax.ShapeDtypeStruct((nx, hny), jnp.float32)),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(g1[0], g1[1], *ka_tables)
+    )(fr, fi, *ka_tables)
 
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
     if axpy is None:
@@ -1130,6 +1295,27 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(f2[0], f2[1], lap, mask, zr, zi, z0r, z0i)
+
+
+def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
+                            nu: float, grid_shape, axpy=None,
+                            mode: str = "full") -> tuple:
+    """One full RK-stage tendency with the KB+advection fusion: KA grid
+    x-stage -> KB_ADV (physical fields never in HBM) -> KX -> VISC.
+    Bit-identical math to derivative_quad_planes(ymajor=True) +
+    forward_tendency_yfirst."""
+    nx, ny = grid_shape[-2], grid_shape[-1]
+    wr, wi = derivative_xstage_planes(sr, si, kx, ky, rlap, grid_shape)
+    if mode == "full":
+        fr, fi = kb_adv_full(wr, wi, src, grid_shape)
+    elif mode == "half":
+        zx, zy = _kb_call_stacked(wr, wi, 0, 1, ny, 1.0 / (nx * ny),
+                                  transpose_out=False)
+        fr, fi = kb_adv_half(zx, zy, wr, wi, src, grid_shape)
+    else:
+        raise ValueError(f"unknown fusekb mode {mode!r}")
+    return forward_tail(fr, fi, lap, mask, sr, si, nu, grid_shape,
+                        axpy=axpy)
 
 
 # ---------------------------------------------------------------------------
