@@ -89,6 +89,14 @@ def main():
                                      "process: XFB_PALLAS_BLOCK=256 + a "
                                      "single backend")
                 pallas_fft.BLOCK = 256
+            # KB+advection fusion A/B (safe in-process: selects different
+            # call paths / pallas_calls, like PLANE_STEPPER)
+            if "fusefull" in name:
+                pallas_fft.FUSEKB = "full"
+            elif "fusehalf" in name:
+                pallas_fft.FUSEKB = "half"
+            else:
+                pallas_fft.FUSEKB = "0"
             planes = name.startswith("pallas-planes")
             build_name = "pallas"
         from xlab_fftbarotropic_tpu.models import barotropic as _bt

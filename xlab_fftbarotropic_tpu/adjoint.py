@@ -98,12 +98,16 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
     g = cfg.grid_shape
     dt, nu = float(cfg.dt), float(cfg.nu)
     r_drag = float(cfg.r_drag)
+    beta = float(cfg.beta)
+    if beta != 0.0 and model_kind == "sw":
+        raise NotImplementedError("beta-plane is barotropic/tracer-only "
+                                  "(config.py beta note)")
 
     if model_kind == "barotropic":
         def raw(tables, vort0, src):
             z = fft.forward(jnp.asarray(vort0, jnp.float32))
             step = lambda zh: bt.rk4_step(tables, zh, src, dt, nu, g,
-                                          r_drag=r_drag)
+                                          r_drag=r_drag, beta=beta)
             z = _checkpointed_scan(step, z, n_steps, segment)
             return fft.inverse(z, g)
     elif model_kind == "sw":
@@ -130,7 +134,7 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
             s = tr.TracerState(fft.forward(jnp.asarray(vort0, jnp.float32)),
                                fft.forward(jnp.asarray(q0, jnp.float32)))
             step = lambda st: tr.rk4_step(tables, st, src, dt, nu, kappa,
-                                          g, r_drag=r_drag)
+                                          g, r_drag=r_drag, beta=beta)
             s = _checkpointed_scan(step, s, n_steps, segment)
             return fft.inverse(s.zeta_hat, g), fft.inverse(s.q_hat, g)
     else:
@@ -176,11 +180,13 @@ def make_sharded_rollout(cfg: ModelConfig, n_steps: int, mesh,
     g = cfg.grid_shape
     dt, nu = float(cfg.dt), float(cfg.nu)
     r_drag = float(cfg.r_drag)
+    beta = float(cfg.beta)
 
     def local(tl, vort0, src):
         z = fwd(jnp.asarray(vort0, jnp.float32))
         step = lambda zh: bt.rk4_step(tl, zh, src, dt, nu, g,
-                                      fwd=fwd, inv=inv, r_drag=r_drag)
+                                      fwd=fwd, inv=inv, r_drag=r_drag,
+                                      beta=beta)
         z = _checkpointed_scan(step, z, n_steps, segment)
         return inv(z, g)
 

@@ -46,6 +46,17 @@ class ModelConfig:
     # disables it exactly (default; bit-identical to the reference
     # contract). Units [1/s]; e-folding time = 1/r_drag.
     r_drag: float = 0.0
+    # Beta-plane Rossby parameter df/dy [1/(m s)] (new capability; the
+    # reference is strictly f-plane, configuration.hpp:11). Adds the
+    # planetary-vorticity advection -beta*v to the barotropic vorticity
+    # equation (and to the tracer family's flow): with v = psi_x the
+    # whole term folds into the existing advection product as
+    # -v*(zeta_y + beta) — zero extra transforms on every path,
+    # including the fused Pallas plane-stepper kernels. 0 disables it
+    # exactly (static trace-time branch; bit-identical f-plane path).
+    # Not supported for shallow-water (a true SW beta plane needs the
+    # spatially varying f in the curl/divergence of f*u — build() raises).
+    beta: float = 0.0
 
     # --- domain (configuration.hpp:13-16) ---
     lx: float = 600_000.0       # domain length in x [m]
@@ -189,6 +200,11 @@ def add_config_args(parser, defaults: Optional[ModelConfig] = None):
                         dest="r_drag",
                         help="boundary-layer (Ekman/Rayleigh) drag "
                              "coefficient [1/s]; 0 disables")
+    parser.add_argument("--beta", type=float, default=d.beta,
+                        help="beta-plane Rossby parameter df/dy "
+                             "[1/(m s)]; adds -beta*v to the vorticity "
+                             "equation (barotropic/tracer families); "
+                             "0 disables")
     parser.add_argument("--coriolis-f", type=float, default=d.f, dest="f")
     parser.add_argument("--rho", type=float, default=d.rho)
     parser.add_argument("--gravity", type=float, default=d.gravity,

@@ -150,7 +150,7 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              deriv_quad: Optional[Callable] = None,
-             r_drag: float = 0.0) -> jax.Array:
+             r_drag: float = 0.0, beta: float = 0.0) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
@@ -187,6 +187,12 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
             dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
             u = -inv(sp.grady(t, psi_hat), grid_shape)
             v = inv(sp.gradx(t, psi_hat), grid_shape)
+    if beta != 0.0:
+        # beta-plane planetary-vorticity advection -beta*v folded into
+        # the advection product: -u*zx - v*zy - beta*v =
+        # -u*zx - v*(zy + beta). Static branch: beta=0 traces the exact
+        # f-plane expression (bit-identical reference contract).
+        dvdy = dvdy + beta
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
     dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
     out = dvortdt_hat + lvort_hat * nu               # main.cpp:240-243
@@ -205,7 +211,7 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              deriv_quad: Optional[Callable] = None,
-             r_drag: float = 0.0) -> jax.Array:
+             r_drag: float = 0.0, beta: float = 0.0) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
@@ -214,7 +220,7 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     """
     d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
                           fwd=fwd, inv=inv, inv_pair=inv_pair,
-                          deriv_quad=deriv_quad, r_drag=r_drag)
+                          deriv_quad=deriv_quad, r_drag=r_drag, beta=beta)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
@@ -224,7 +230,7 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
 
 def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
                     src: jax.Array, dt: float, nu: float,
-                    grid_shape: Tuple[int, int]):
+                    grid_shape: Tuple[int, int], beta: float = 0.0):
     """RK4 on the spectral state as (re, im) float32 PLANES — the fully
     fused Pallas path: derivative_quad_planes + forward_tendency per
     stage, RK combines as plain plane arithmetic. No complex64 array and
@@ -252,15 +258,15 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
             # in HBM (ops/pallas_fft.py KB_ADV section)
             return pf.tendency_yfirst_fusedkb(
                 sr, si, src, t.kx, t.ky, t.rlap, t.lap, t.mask, nu,
-                grid_shape, axpy=axpy, mode=fusekb)
+                grid_shape, axpy=axpy, mode=fusekb, beta=beta)
         dvdx, dvdy, u, v = pf.derivative_quad_planes(
             sr, si, t.kx, t.ky, t.rlap, grid_shape, ymajor=yfirst)
         if yfirst:
             return pf.forward_tendency_yfirst(
                 u, dvdx, v, dvdy, src, t.lap, t.mask, sr, si, nu,
-                grid_shape, axpy=axpy)
+                grid_shape, axpy=axpy, beta=beta)
         return pf.forward_tendency(u, dvdx, v, dvdy, src, t.lap, t.mask,
-                                   sr, si, nu, grid_shape)
+                                   sr, si, nu, grid_shape, beta=beta)
 
     if yfirst and _fused_rk():
         # stage updates fused into the VISC epilogue and the RK tail as
@@ -312,15 +318,17 @@ class DebugFields(NamedTuple):
 
 def debug_fields(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
                  grid_shape: Tuple[int, int],
-                 inv: Callable = fft.inverse) -> DebugFields:
+                 inv: Callable = fft.inverse,
+                 beta: float = 0.0) -> DebugFields:
     """Step-start debug intermediates (main.cpp:156-176, 216-222)."""
     dvdx = inv(sp.gradx(t, zeta_hat), grid_shape)
     dvdy = inv(sp.grady(t, zeta_hat), grid_shape)
     psi_hat = sp.invert_laplacian(t, zeta_hat)
     u = -inv(sp.grady(t, psi_hat), grid_shape)
     v = inv(sp.gradx(t, psi_hat), grid_shape)
+    adv_y = dvdy + beta if beta != 0.0 else dvdy
     return DebugFields(dvortdx=dvdx, dvortdy=dvdy,
-                       dvortdt=-u * dvdx - v * dvdy + src)
+                       dvortdt=-u * dvdx - v * adv_y + src)
 
 
 class StepStats(NamedTuple):
@@ -373,6 +381,7 @@ class BarotropicModel:
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
+        beta = float(cfg.beta)
         resolved = resolve_fft_backend_name(cfg.fft_backend, g)
         fwd, inv, inv_pair, deriv_quad = resolve_fft_backend(resolved, g)
         t_step = t
@@ -409,7 +418,7 @@ class BarotropicModel:
                 zr, zi = rk4_step_planes(t, jnp.real(zeta_hat),
                                          jnp.imag(zeta_hat),
                                          _src_layout(src),
-                                         dt, nu, g)
+                                         dt, nu, g, beta=beta)
                 return jax.lax.complex(zr, zi)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -418,7 +427,7 @@ class BarotropicModel:
 
                 def body(zc, _):
                     return rk4_step_planes(t, zc[0], zc[1], src_l,
-                                           dt, nu, g), None
+                                           dt, nu, g, beta=beta), None
                 zc, _ = jax.lax.scan(
                     body, (jnp.real(zeta_hat), jnp.imag(zeta_hat)),
                     None, length=n_steps)
@@ -428,7 +437,8 @@ class BarotropicModel:
             def step_(t, zeta_hat, src):
                 return rk4_step(t, zeta_hat, src, dt, nu, g,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
-                                deriv_quad=deriv_quad, r_drag=r_drag)
+                                deriv_quad=deriv_quad, r_drag=r_drag,
+                                beta=beta)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, zeta_hat, src, n_steps: int):
@@ -436,7 +446,7 @@ class BarotropicModel:
                     return rk4_step(t, z, src, dt, nu, g,
                                     fwd=fwd, inv=inv, inv_pair=inv_pair,
                                     deriv_quad=deriv_quad,
-                                    r_drag=r_drag), None
+                                    r_drag=r_drag, beta=beta), None
                 z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
                 return z
 
@@ -450,7 +460,7 @@ class BarotropicModel:
 
         @jax.jit
         def debug_(t, zeta_hat, src):
-            return debug_fields(t, zeta_hat, src, g)
+            return debug_fields(t, zeta_hat, src, g, beta=beta)
 
         def segment(zeta_hat, src, n_steps: int):
             return segment_(t_step, zeta_hat, src, n_steps)

@@ -173,6 +173,7 @@ class FDBarotropicModel:
         dx, dy = float(cfg.dx), float(cfg.dy)
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
+        beta = float(cfg.beta)
         if solver == "fft":
             def solve(rhs_z, guess):
                 return poisson_fft(rhs_z, dx, dy)
@@ -189,6 +190,13 @@ class FDBarotropicModel:
                 # boundary-layer feedback, same linear spin-down as the
                 # spectral cores (models/barotropic.py:tendency)
                 out = out - r_drag * zeta
+            if beta != 0.0:
+                # beta-plane: -beta*v with v = psi_x, centered FD (same
+                # term the spectral cores fold into the advection
+                # product, models/barotropic.py:tendency)
+                v = (jnp.roll(psi, -1, axis=0) - jnp.roll(psi, 1, axis=0)
+                     ) / (2.0 * dx)
+                out = out - beta * v
             return out
 
         def rk4(zeta, psi_guess, src):

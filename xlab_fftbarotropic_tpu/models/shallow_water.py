@@ -297,6 +297,11 @@ class ShallowWaterModel:
         g_shape = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         f, grav = float(cfg.f), float(cfg.gravity)
+        if float(cfg.beta) != 0.0:
+            raise NotImplementedError(
+                "beta-plane is barotropic/tracer-only: the SW equations "
+                "need the spatially varying f inside curl(f u)/div(f u) "
+                "(config.py beta note)")
 
         H = float(cfg.mean_depth)
 

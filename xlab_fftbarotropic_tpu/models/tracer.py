@@ -69,7 +69,7 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             r_drag: float = 0.0) -> TracerState:
+             r_drag: float = 0.0, beta: float = 0.0) -> TracerState:
     """Un-dealiased joint tendency (zeta per main.cpp:146-244; q passive).
 
     r_drag != 0 adds the Ekman spin-down -r*zeta to the FLOW only — a
@@ -88,6 +88,11 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
                     grid_shape)
     dqdx, dqdy = inv_pair(sp.gradx(t, q_hat), sp.grady(t, q_hat),
                           grid_shape)
+    if beta != 0.0:
+        # beta-plane -beta*v on the FLOW, folded into the advection
+        # product (models/barotropic.py:tendency); the passive tracer is
+        # advected by the beta-plane flow but has no planetary term
+        dvdy = dvdy + beta
     dzeta = fwd(-u * dvdx - v * dvdy + src) + lvort_hat * nu
     if r_drag != 0.0:
         dzeta = dzeta - zeta_hat * r_drag
@@ -101,12 +106,12 @@ def rk4_step(t: SpectralTables, state: TracerState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             r_drag: float = 0.0) -> TracerState:
+             r_drag: float = 0.0, beta: float = 0.0) -> TracerState:
     """Joint RK4 (main.cpp:286-317 structure); both stage tendencies are
     dealiased, the states never are; src fixed across stages."""
     d = functools.partial(tendency, t, src=src, nu=nu, kappa=kappa,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
-                          inv_pair=inv_pair, r_drag=r_drag)
+                          inv_pair=inv_pair, r_drag=r_drag, beta=beta)
 
     def dl(s):
         r = d(s)
@@ -181,19 +186,20 @@ class TracerModel:
         fwd, inv, inv_pair, _ = resolve_fft_backend(resolved, g)
 
         r_drag = float(cfg.r_drag)
+        beta = float(cfg.beta)
 
         @functools.partial(jax.jit, static_argnames=())
         def step_(t_, state, src):
             return rk4_step(t_, state, src, dt, nu, kp, g,
                             fwd=fwd, inv=inv, inv_pair=inv_pair,
-                            r_drag=r_drag)
+                            r_drag=r_drag, beta=beta)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def segment_(t_, state, src, n_steps: int):
             def body(s, _):
                 return rk4_step(t_, s, src, dt, nu, kp, g, fwd=fwd,
                                 inv=inv, inv_pair=inv_pair,
-                                r_drag=r_drag), None
+                                r_drag=r_drag, beta=beta), None
             out, _ = jax.lax.scan(body, state, None, length=n_steps)
             return out
 

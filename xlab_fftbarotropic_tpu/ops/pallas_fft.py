@@ -831,15 +831,28 @@ def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float,
 # half the traffic saving, a much smaller kernel body for Mosaic.
 # ---------------------------------------------------------------------------
 
-# XFB_BT_FUSEKB: '' / '0' = off, 'half', 'full'
-FUSEKB = _os.environ.get("XFB_BT_FUSEKB", "0")
+# XFB_BT_FUSEKB: 'auto' (default) / '0' / 'half' / 'full'. Hardware A/B
+# at 4096^2, 30-step segments, checksums identical (2026-08-19):
+#   fast mode (MM=default):  unfused 20.09 ms/step | half 19.56 (1.027x,
+#                            ADOPTED) | full 20.42 (0.98x, rejected —
+#                            the 2xKB+KC mega-body's per-block pipeline
+#                            stalls outweigh its extra traffic saving)
+#   fp32 HIGHEST:            unfused 42.80 | half 42.93 (neutral: the
+#                            step is matmul-pass-bound there, so the
+#                            traffic cut doesn't show; default stays off
+#                            to keep the pinned fp32 ledger numbers)
+# 'auto' therefore resolves to 'half' exactly when the kernel matmuls
+# are in fast mode, mirroring pallas_sw.split_linear's gate.
+FUSEKB = _os.environ.get("XFB_BT_FUSEKB", "auto")
 
 
 def fusekb_mode() -> str:
+    if FUSEKB == "auto":
+        return "half" if MM_MODE in ("bf16", "default") else ""
     return "" if FUSEKB in ("", "0") else FUSEKB
 
 
-def _kb_adv_full_kernel(ny: int, *refs):
+def _kb_adv_full_kernel(ny: int, beta: float, *refs):
     (w0r, w0i, w1r, w1i, w2r, w2i, w3r, w3i, src_ref) = refs[:9]
     kb = refs[9:20]
     kc = refs[20:26]
@@ -851,6 +864,8 @@ def _kb_adv_full_kernel(ny: int, *refs):
 
     zx, zy = _kb_compute(ny, fld(w0r), fld(w0i), fld(w1r), fld(w1i), *kb)
     u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
+    if beta != 0.0:
+        zy = zy + beta
     adv = -(u * zx) - v * zy + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
                       kc[3][:], kc[4][:], kc[5][:])
@@ -858,7 +873,7 @@ def _kb_adv_full_kernel(ny: int, *refs):
     oi_ref[:] = yi.T
 
 
-def _kb_adv_half_kernel(ny: int, *refs):
+def _kb_adv_half_kernel(ny: int, beta: float, *refs):
     (zx_ref, zy_ref, w2r, w2i, w3r, w3i, src_ref) = refs[:7]
     kb = refs[7:18]
     kc = refs[18:24]
@@ -869,7 +884,8 @@ def _kb_adv_half_kernel(ny: int, *refs):
         return r[0, 0:half + 1, :]
 
     u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
-    adv = -(u * zx_ref[:]) - v * zy_ref[:] + src_ref[:]
+    zy = zy_ref[:] + beta if beta != 0.0 else zy_ref[:]
+    adv = -(u * zx_ref[:]) - v * zy + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
                       kc[3][:], kc[4][:], kc[5][:])
     or_ref[:] = yr.T
@@ -892,7 +908,7 @@ def _kb_adv_specs(ny: int, nx: int, kb_tables, kc_tables):
     return fspec, y_spec, tab_spec, row_spec
 
 
-def kb_adv_full(wr, wi, src, grid_shape):
+def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0):
     """Stacked quad output (4, hny, nx) planes + y-major src (ny, nx)
     -> forward y-stage tendency planes (nx, hny): 2x KB + advection +
     real partial y r2c in ONE kernel (bit-identical to the composed
@@ -906,7 +922,7 @@ def kb_adv_full(wr, wi, src, grid_shape):
         ny, nx, kb_tables, kc_tables)
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_kb_adv_full_kernel, ny),
+        functools.partial(_kb_adv_full_kernel, ny, float(beta)),
         grid=(pl.cdiv(nx, BLOCK),),
         in_specs=[fspec(0), fspec(0), fspec(1), fspec(1),
                   fspec(2), fspec(2), fspec(3), fspec(3), y_spec]
@@ -918,7 +934,7 @@ def kb_adv_full(wr, wi, src, grid_shape):
     )(wr, wi, wr, wi, wr, wi, wr, wi, src, *kb_tables, *kc_tables)
 
 
-def kb_adv_half(zx, zy, wr, wi, src, grid_shape):
+def kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta: float = 0.0):
     """Half fusion: zx, zy arrive y-major from a materialized KB pair;
     the (u, v) KB pair + advection + y r2c run fused."""
     nx, ny = grid_shape[-2], grid_shape[-1]
@@ -930,7 +946,7 @@ def kb_adv_half(zx, zy, wr, wi, src, grid_shape):
         ny, nx, kb_tables, kc_tables)
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_kb_adv_half_kernel, ny),
+        functools.partial(_kb_adv_half_kernel, ny, float(beta)),
         grid=(pl.cdiv(nx, BLOCK),),
         in_specs=[y_spec, y_spec, fspec(2), fspec(2), fspec(3), fspec(3),
                   y_spec] + tab_spec,
@@ -1045,11 +1061,13 @@ def _kc_call(xt, ny: int):
 # physical-space tendency never lands in HBM.
 # ---------------------------------------------------------------------------
 
-def _ka_adv_kernel(n: int, u_ref, zx_ref, v_ref, zy_ref, src_ref,
+def _ka_adv_kernel(n: int, beta: float, u_ref, zx_ref, v_ref, zy_ref,
+                   src_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
     m = u_ref.shape[1]
-    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy_ref[:] + src_ref[:]
+    zy = zy_ref[:] + beta if beta != 0.0 else zy_ref[:]
+    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy + src_ref[:]
     yr, yi = _four_step(adv, None, n, m, far_ref[:], fai_ref[:],
                         twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
     or_ref[:] = yr.T
@@ -1092,7 +1110,7 @@ def _kc_visc_kernel(ny: int, nu: float, xr_ref, xi_ref,
 
 
 def forward_tendency(u, zx, v, zy, src, lap, mask, zr, zi, nu: float,
-                     grid_shape) -> tuple:
+                     grid_shape, beta: float = 0.0) -> tuple:
     """Dealiased spectral tendency planes of the barotropic RHS, fully
     fused: KA_adv (product + forward x-stage) + KC_visc (forward y-stage
     + viscosity + dealias). Matches
@@ -1107,7 +1125,7 @@ def forward_tendency(u, zx, v, zy, src, lap, mask, zr, zi, nu: float,
     out_spec_a = pl.BlockSpec((BLOCK, nx), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     f1t = pl.pallas_call(
-        functools.partial(_ka_adv_kernel, nx),
+        functools.partial(_ka_adv_kernel, nx, float(beta)),
         grid=(pl.cdiv(ny, BLOCK),),
         in_specs=[in_spec] * 5 + tab_spec_a,
         out_specs=(out_spec_a, out_spec_a),
@@ -1158,10 +1176,14 @@ def fwd_yfirst_active() -> bool:
     return FWD_YFIRST and QUAD_MODE == "grid"
 
 
-def _ky_adv_kernel(ny: int, u_ref, zx_ref, v_ref, zy_ref, src_ref,
+def _ky_adv_kernel(ny: int, beta: float, u_ref, zx_ref, v_ref, zy_ref,
+                   src_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
-    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy_ref[:] + src_ref[:]
+    # beta-plane: -u*zx - v*zy - beta*v = -u*zx - v*(zy + beta)
+    # (static branch; beta=0 traces the exact f-plane expression)
+    zy = zy_ref[:] + beta if beta != 0.0 else zy_ref[:]
+    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, far_ref[:], fai_ref[:], twr_ref[:],
                       twi_ref[:], fbr_ref[:], fbi_ref[:])
     or_ref[:] = yr.T
@@ -1215,7 +1237,8 @@ def _visc_axpy_kernel(nu: float, coef: float, fr_ref, fi_ref, lap_ref,
 
 
 def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
-                            nu: float, grid_shape, axpy=None) -> tuple:
+                            nu: float, grid_shape, axpy=None,
+                            beta: float = 0.0) -> tuple:
     """forward_tendency with Y-MAJOR (ny, nx) physical inputs and the
     y-first transform order: KY_adv (product + real partial y r2c) +
     KX (x c2c over hny columns) + VISC (viscosity + dealias epilogue).
@@ -1233,7 +1256,7 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
     row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     g1 = pl.pallas_call(
-        functools.partial(_ky_adv_kernel, ny),
+        functools.partial(_ky_adv_kernel, ny, float(beta)),
         grid=(pl.cdiv(nx, BLOCK),),
         in_specs=[y_in] * 5 + tab_spec_c,
         out_specs=(row_spec, row_spec),
@@ -1299,7 +1322,8 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
 
 def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
                             nu: float, grid_shape, axpy=None,
-                            mode: str = "full") -> tuple:
+                            mode: str = "full",
+                            beta: float = 0.0) -> tuple:
     """One full RK-stage tendency with the KB+advection fusion: KA grid
     x-stage -> KB_ADV (physical fields never in HBM) -> KX -> VISC.
     Bit-identical math to derivative_quad_planes(ymajor=True) +
@@ -1307,11 +1331,11 @@ def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
     nx, ny = grid_shape[-2], grid_shape[-1]
     wr, wi = derivative_xstage_planes(sr, si, kx, ky, rlap, grid_shape)
     if mode == "full":
-        fr, fi = kb_adv_full(wr, wi, src, grid_shape)
+        fr, fi = kb_adv_full(wr, wi, src, grid_shape, beta=beta)
     elif mode == "half":
         zx, zy = _kb_call_stacked(wr, wi, 0, 1, ny, 1.0 / (nx * ny),
                                   transpose_out=False)
-        fr, fi = kb_adv_half(zx, zy, wr, wi, src, grid_shape)
+        fr, fi = kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta=beta)
     else:
         raise ValueError(f"unknown fusekb mode {mode!r}")
     return forward_tail(fr, fi, lap, mask, sr, si, nu, grid_shape,

@@ -199,18 +199,21 @@ class ShardedBarotropicModel:
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
+        beta = float(cfg.beta)
         (t, fwd, inv, tspec, sspec, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
 
         def step_local(tl, zeta_hat, src):
             return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
-                                       fwd=fwd, inv=inv, r_drag=r_drag)
+                                       fwd=fwd, inv=inv, r_drag=r_drag,
+                                       beta=beta)
 
         def segment_local(tl, zeta_hat, src, n_steps: int):
             def body(z, _):
                 return barotropic.rk4_step(tl, z, src, dt, nu, g,
                                            fwd=fwd, inv=inv,
-                                           r_drag=r_drag), None
+                                           r_drag=r_drag,
+                                           beta=beta), None
             z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
             return z
 
@@ -363,6 +366,11 @@ class ShardedShallowWaterModel:
         f, grav = float(cfg.f), float(cfg.gravity)
         H = float(cfg.mean_depth)
         r_drag = float(cfg.r_drag)
+        if float(cfg.beta) != 0.0:
+            raise NotImplementedError(
+                "beta-plane is barotropic/tracer-only: shallow water "
+                "needs the spatially varying f inside curl(f u)/div(f u) "
+                "(config.py beta note)")
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
@@ -502,13 +510,14 @@ class ShardedTracerModel:
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
         r_drag = float(cfg.r_drag)
+        beta = float(cfg.beta)
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = tr.TracerState(zeta_hat=spec1, q_hat=spec1)
 
         def step_local(tl, s, src):
             return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv,
-                               r_drag=r_drag)
+                               r_drag=r_drag, beta=beta)
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
@@ -522,7 +531,7 @@ class ShardedTracerModel:
                 def body(state, _):
                     return tr.rk4_step(tl, state, src, dt, nu, kp, g,
                                        fwd=fwd, inv=inv,
-                                       r_drag=r_drag), None
+                                       r_drag=r_drag, beta=beta), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
