@@ -97,6 +97,11 @@ def main():
                 pallas_fft.FUSEKB = "half"
             else:
                 pallas_fft.FUSEKB = "0"
+            # SW grid-order probes (pure iteration order, bit-identical)
+            pallas_sw.KA_FMINOR = ("kafminor" in name
+                                   or "bothminor" in name)
+            pallas_sw.KY_FMINOR = ("kyfminor" in name
+                                   or "bothminor" in name)
             planes = name.startswith("pallas-planes")
             build_name = "pallas"
         from xlab_fftbarotropic_tpu.models import barotropic as _bt

@@ -349,3 +349,26 @@ def test_bf16_transforms_corrupt_sw_balance_asymmetrically(monkeypatch):
     assert err["div_hat"] > 0.05, err
     # eta: integrates the div noise — an order above zeta's error
     assert err["eta_hat"] > 5 * err["zeta_hat"], err
+
+
+@pytest.mark.parametrize("ka, ky", [(True, False), (False, True),
+                                    (True, True)])
+def test_field_minor_orders_bit_identical(ka, ky, monkeypatch):
+    """KA_SW / KY_FWD with the field axis minor (input-block revisiting:
+    the 7-plane / 4-field re-reads drop away on hardware) are pure
+    iteration-order changes — 5-step trajectories must be BIT-identical
+    to the field-major order."""
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.ops import pallas_sw as psw
+
+    cfg = _cfg()
+    vort = makefields.gaussian(cfg)
+    m0 = sw.ShallowWaterModel.build(cfg)
+    out0 = m0.segment(m0.geostrophic_init(vort), m0.zero_source(), 5)
+    monkeypatch.setattr(psw, "KA_FMINOR", ka)
+    monkeypatch.setattr(psw, "KY_FMINOR", ky)
+    m1 = sw.ShallowWaterModel.build(cfg)
+    out1 = m1.segment(m1.geostrophic_init(vort), m1.zero_source(), 5)
+    for a, b in zip(jax.tree_util.tree_leaves(out0),
+                    jax.tree_util.tree_leaves(out1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

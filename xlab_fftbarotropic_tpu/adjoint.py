@@ -99,6 +99,7 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
     dt, nu = float(cfg.dt), float(cfg.nu)
     r_drag = float(cfg.r_drag)
     beta = float(cfg.beta)
+    nu4 = float(cfg.nu4)
     if beta != 0.0 and model_kind == "sw":
         raise NotImplementedError("beta-plane is barotropic/tracer-only "
                                   "(config.py beta note)")
@@ -107,7 +108,8 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
         def raw(tables, vort0, src):
             z = fft.forward(jnp.asarray(vort0, jnp.float32))
             step = lambda zh: bt.rk4_step(tables, zh, src, dt, nu, g,
-                                          r_drag=r_drag, beta=beta)
+                                          r_drag=r_drag, beta=beta,
+                                          nu4=nu4)
             z = _checkpointed_scan(step, z, n_steps, segment)
             return fft.inverse(z, g)
     elif model_kind == "sw":
@@ -122,7 +124,8 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
             s = sw.SWState(zeta_hat=zh, div_hat=jnp.zeros_like(zh),
                            eta_hat=eta)
             step = lambda st: sw.rk4_step(tables, st, src, dt, f, grav,
-                                          nu, H, g, r_drag=r_drag)
+                                          nu, H, g, r_drag=r_drag,
+                                          nu4=nu4)
             s = _checkpointed_scan(step, s, n_steps, segment)
             return (fft.inverse(s.zeta_hat, g), fft.inverse(s.div_hat, g),
                     fft.inverse(s.eta_hat, g))
@@ -134,7 +137,8 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
             s = tr.TracerState(fft.forward(jnp.asarray(vort0, jnp.float32)),
                                fft.forward(jnp.asarray(q0, jnp.float32)))
             step = lambda st: tr.rk4_step(tables, st, src, dt, nu, kappa,
-                                          g, r_drag=r_drag, beta=beta)
+                                          g, r_drag=r_drag, beta=beta,
+                                          nu4=nu4)
             s = _checkpointed_scan(step, s, n_steps, segment)
             return fft.inverse(s.zeta_hat, g), fft.inverse(s.q_hat, g)
     else:
@@ -181,12 +185,13 @@ def make_sharded_rollout(cfg: ModelConfig, n_steps: int, mesh,
     dt, nu = float(cfg.dt), float(cfg.nu)
     r_drag = float(cfg.r_drag)
     beta = float(cfg.beta)
+    nu4 = float(cfg.nu4)
 
     def local(tl, vort0, src):
         z = fwd(jnp.asarray(vort0, jnp.float32))
         step = lambda zh: bt.rk4_step(tl, zh, src, dt, nu, g,
                                       fwd=fwd, inv=inv, r_drag=r_drag,
-                                      beta=beta)
+                                      beta=beta, nu4=nu4)
         z = _checkpointed_scan(step, z, n_steps, segment)
         return inv(z, g)
 

@@ -57,6 +57,19 @@ class ModelConfig:
     # Not supported for shallow-water (a true SW beta plane needs the
     # spatially varying f in the curl/divergence of f*u — build() raises).
     beta: float = 0.0
+    # Biharmonic hyperviscosity coefficient nu4 [m^4/s] (new capability;
+    # the reference has only the plain Laplacian nu, configuration.hpp:
+    # 17). Adds -nu4*lap^2(zeta) to the vorticity tendency (and to the
+    # tracer family's flow) — the standard scale-selective dissipation
+    # for high-resolution turbulence runs, where the reference's nu
+    # either underdamps the grid scale or overdamps the inertial range.
+    # Spectral: an exact diagonal -nu4*k^4 multiply; on the fused plane
+    # stepper it folds into the viscous table like r_drag (zero kernel
+    # changes). 0 disables it exactly (static bit-identical branch).
+    # Shallow water: applied to zeta and div on the per-transform/XLA
+    # paths; the fused SW plane stepper falls back like it does for
+    # drag (the lap table doubles as the pressure operator there).
+    nu4: float = 0.0
 
     # --- domain (configuration.hpp:13-16) ---
     lx: float = 600_000.0       # domain length in x [m]
@@ -200,6 +213,11 @@ def add_config_args(parser, defaults: Optional[ModelConfig] = None):
                         dest="r_drag",
                         help="boundary-layer (Ekman/Rayleigh) drag "
                              "coefficient [1/s]; 0 disables")
+    parser.add_argument("--nu4", type=float, default=d.nu4,
+                        help="biharmonic hyperviscosity coefficient "
+                             "[m^4/s]; adds -nu4*lap^2 to the "
+                             "vorticity (and SW divergence) tendency; "
+                             "0 disables")
     parser.add_argument("--beta", type=float, default=d.beta,
                         help="beta-plane Rossby parameter df/dy "
                              "[1/(m s)]; adds -beta*v to the vorticity "

@@ -150,7 +150,8 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              deriv_quad: Optional[Callable] = None,
-             r_drag: float = 0.0, beta: float = 0.0) -> jax.Array:
+             r_drag: float = 0.0, beta: float = 0.0,
+             nu4: float = 0.0) -> jax.Array:
     """getDvortdt (main.cpp:146-244): un-dealiased spectral tendency.
 
     4 inverse + 1 forward FFT per call; the pointwise advection stage
@@ -202,6 +203,11 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
         # to the stage state like the viscous term. Static branch: the
         # default r_drag=0 traces the exact pre-drag computation.
         out = out - zeta_hat * r_drag
+    if nu4 != 0.0:
+        # biharmonic hyperviscosity -nu4*lap^2(zeta) (config.py nu4
+        # note): an exact spectral diagonal, lap applied to the already
+        # computed lap*zeta. Static branch when 0.
+        out = out - sp.laplacian(t, lvort_hat) * nu4
     return out
 
 
@@ -211,7 +217,8 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
              deriv_quad: Optional[Callable] = None,
-             r_drag: float = 0.0, beta: float = 0.0) -> jax.Array:
+             r_drag: float = 0.0, beta: float = 0.0,
+             nu4: float = 0.0) -> jax.Array:
     """One RK4 step on zeta_hat (main.cpp:286-317).
 
     Each stage tendency is dealiased before use (main.cpp:296-306); the
@@ -220,7 +227,8 @@ def rk4_step(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     """
     d = functools.partial(tendency, t, src=src, nu=nu, grid_shape=grid_shape,
                           fwd=fwd, inv=inv, inv_pair=inv_pair,
-                          deriv_quad=deriv_quad, r_drag=r_drag, beta=beta)
+                          deriv_quad=deriv_quad, r_drag=r_drag, beta=beta,
+                          nu4=nu4)
     rk1 = sp.dealias(t, d(zeta_hat))
     rk2 = sp.dealias(t, d(zeta_hat + rk1 * (dt * 0.5)))
     rk3 = sp.dealias(t, d(zeta_hat + rk2 * (dt * 0.5)))
@@ -382,6 +390,7 @@ class BarotropicModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
         beta = float(cfg.beta)
+        nu4 = float(cfg.nu4)
         resolved = resolve_fft_backend_name(cfg.fft_backend, g)
         fwd, inv, inv_pair, deriv_quad = resolve_fft_backend(resolved, g)
         t_step = t
@@ -398,15 +407,19 @@ class BarotropicModel:
             # y-major ONCE per jit call, outside the scan.
             from ..ops import pallas_fft as _pf
 
-            if r_drag != 0.0:
-                # Fold the Ekman drag into the viscous multiplier: the
-                # plane kernels' only linear term is nu*lap*z (the VISC
-                # epilogue of forward_tendency), so lap := nu*lap - r
-                # with nu := 1 applies the exact (nu*lap - r)*zeta_hat
-                # operator without touching any kernel. derivative_quad
-                # reads only kx/ky/rlap, which stay untouched; diags/
-                # stats below are bound to the ORIGINAL tables.
-                t_step = dataclasses.replace(t, lap=t.lap * nu - r_drag)
+            if r_drag != 0.0 or nu4 != 0.0:
+                # Fold the Ekman drag AND the biharmonic hyperviscosity
+                # into the viscous multiplier: the plane kernels' only
+                # linear term is nu*lap*z (the VISC epilogue of
+                # forward_tendency), so lap := nu*lap - r - nu4*lap^2
+                # with nu := 1 applies the exact
+                # (nu*lap - r - nu4*lap^2)*zeta_hat operator without
+                # touching any kernel (lap = -k^2, so -nu4*lap^2 =
+                # -nu4*k^4). derivative_quad reads only kx/ky/rlap,
+                # which stay untouched; diags/stats below are bound to
+                # the ORIGINAL tables.
+                t_step = dataclasses.replace(
+                    t, lap=t.lap * nu - r_drag - nu4 * t.lap * t.lap)
                 nu = 1.0
 
             def _src_layout(src):
@@ -438,7 +451,7 @@ class BarotropicModel:
                 return rk4_step(t, zeta_hat, src, dt, nu, g,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
                                 deriv_quad=deriv_quad, r_drag=r_drag,
-                                beta=beta)
+                                beta=beta, nu4=nu4)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, zeta_hat, src, n_steps: int):
@@ -446,7 +459,8 @@ class BarotropicModel:
                     return rk4_step(t, z, src, dt, nu, g,
                                     fwd=fwd, inv=inv, inv_pair=inv_pair,
                                     deriv_quad=deriv_quad,
-                                    r_drag=r_drag, beta=beta), None
+                                    r_drag=r_drag, beta=beta,
+                                    nu4=nu4), None
                 z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
                 return z
 

@@ -174,6 +174,7 @@ class FDBarotropicModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
         beta = float(cfg.beta)
+        nu4 = float(cfg.nu4)
         if solver == "fft":
             def solve(rhs_z, guess):
                 return poisson_fft(rhs_z, dx, dy)
@@ -197,6 +198,11 @@ class FDBarotropicModel:
                 v = (jnp.roll(psi, -1, axis=0) - jnp.roll(psi, 1, axis=0)
                      ) / (2.0 * dx)
                 out = out - beta * v
+            if nu4 != 0.0:
+                # biharmonic hyperviscosity: the iterated 5-point
+                # Laplacian (config.py nu4 note)
+                out = out - nu4 * laplacian5(laplacian5(zeta, dx, dy),
+                                             dx, dy)
             return out
 
         def rk4(zeta, psi_guess, src):

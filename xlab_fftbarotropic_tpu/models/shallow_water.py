@@ -84,7 +84,7 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
              inv_pair: Optional[Callable] = None,
              fwd_pair: Optional[Callable] = None,
              split: bool = False,
-             r_drag: float = 0.0) -> SWState:
+             r_drag: float = 0.0, nu4: float = 0.0) -> SWState:
     """Un-dealiased spectral tendencies of (zeta, delta, eta).
 
     r_drag != 0 adds the boundary-layer feedback (reference TODO.md:11):
@@ -152,6 +152,12 @@ def tendency(t: SpectralTables, s: SWState, src: jax.Array,
     if r_drag != 0.0:
         dzeta = dzeta - r_drag * s.zeta_hat
         ddiv = ddiv - r_drag * s.div_hat
+    if nu4 != 0.0:
+        # biharmonic hyperviscosity on the momentum (zeta AND div, like
+        # nu; the mass equation untouched — config.py nu4 note)
+        l2 = t.lap * t.lap
+        dzeta = dzeta - nu4 * l2 * s.zeta_hat
+        ddiv = ddiv - nu4 * l2 * s.div_hat
     return SWState(zeta_hat=dzeta, div_hat=ddiv, eta_hat=deta)
 
 
@@ -171,14 +177,14 @@ def rk4_step(t: SpectralTables, s: SWState, src: jax.Array,
              inv_pair: Optional[Callable] = None,
              fwd_pair: Optional[Callable] = None,
              split: bool = False,
-             r_drag: float = 0.0) -> SWState:
+             r_drag: float = 0.0, nu4: float = 0.0) -> SWState:
     """Classic RK4 with per-stage dealiased tendencies — the same stepping
     contract as the barotropic core (main.cpp:286-317)."""
     d = functools.partial(tendency, t, src=src, f=f, g=g, nu=nu,
                           mean_depth=mean_depth,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
                           inv_pair=inv_pair, fwd_pair=fwd_pair,
-                          split=split, r_drag=r_drag)
+                          split=split, r_drag=r_drag, nu4=nu4)
     k1 = _dealias_state(t, d(s))
     k2 = _dealias_state(t, d(_axpy(s, k1, dt * 0.5)))
     k3 = _dealias_state(t, d(_axpy(s, k2, dt * 0.5)))
@@ -327,20 +333,22 @@ class ShallowWaterModel:
         # (see models/barotropic.py note: avoids lowering-time device
         # fetches and executable bloat).
         r_drag = float(cfg.r_drag)
-        if r_drag != 0.0 and resolved == "pallas" \
+        nu4 = float(cfg.nu4)
+        if (r_drag != 0.0 or nu4 != 0.0) and resolved == "pallas" \
                 and use_plane_stepper(g_shape):
             # The SW plane kernels use the lap table for the pressure
             # term and the mean-mode f-masking too, so the barotropic
-            # drag-fold trick (lap := nu*lap - r) would corrupt them;
-            # drag runs take the per-transform path instead.
+            # fold trick (lap := nu*lap - r - nu4*lap^2) would corrupt
+            # them; drag/hyperviscosity runs take the per-transform path
+            # instead.
             import warnings
             warnings.warn(
-                "r_drag != 0: the fused SW plane stepper does not carry "
-                "the drag term — falling back to the per-transform "
+                "r_drag/nu4 != 0: the fused SW plane stepper does not "
+                "carry these terms — falling back to the per-transform "
                 "pipeline for this run", stacklevel=2)
 
         if resolved == "pallas" and use_plane_stepper(g_shape) \
-                and r_drag == 0.0:
+                and r_drag == 0.0 and nu4 == 0.0:
             # fully fused plane-state stepper (ops/pallas_sw.py): the SW
             # counterpart of the barotropic rk4_step_planes path —
             # complex <-> (re, im) conversion and the forcing forward
@@ -403,7 +411,7 @@ class ShallowWaterModel:
                 return rk4_step(t, s, src, dt, f, grav, nu, H, g_shape,
                                 fwd=fwd, inv=inv, inv_pair=inv_pair,
                                 fwd_pair=fwd_pair, split=split,
-                                r_drag=r_drag)
+                                r_drag=r_drag, nu4=nu4)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def segment_(t, s: SWState, src, n_steps: int):
@@ -412,7 +420,7 @@ class ShallowWaterModel:
                                     g_shape, fwd=fwd, inv=inv,
                                     inv_pair=inv_pair,
                                     fwd_pair=fwd_pair, split=split,
-                                    r_drag=r_drag), None
+                                    r_drag=r_drag, nu4=nu4), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
 

@@ -69,7 +69,8 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             r_drag: float = 0.0, beta: float = 0.0) -> TracerState:
+             r_drag: float = 0.0, beta: float = 0.0,
+             nu4: float = 0.0) -> TracerState:
     """Un-dealiased joint tendency (zeta per main.cpp:146-244; q passive).
 
     r_drag != 0 adds the Ekman spin-down -r*zeta to the FLOW only — a
@@ -96,6 +97,10 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
     dzeta = fwd(-u * dvdx - v * dvdy + src) + lvort_hat * nu
     if r_drag != 0.0:
         dzeta = dzeta - zeta_hat * r_drag
+    if nu4 != 0.0:
+        # hyperviscosity on the FLOW only (config.py nu4 note); the
+        # tracer keeps its plain kappa diffusion
+        dzeta = dzeta - sp.laplacian(t, lvort_hat) * nu4
     dq = fwd(-u * dqdx - v * dqdy) + lq_hat * kappa
     return TracerState(dzeta, dq)
 
@@ -106,12 +111,14 @@ def rk4_step(t: SpectralTables, state: TracerState, src: jax.Array,
              fwd: Callable = fft.forward,
              inv: Callable = fft.inverse,
              inv_pair: Optional[Callable] = None,
-             r_drag: float = 0.0, beta: float = 0.0) -> TracerState:
+             r_drag: float = 0.0, beta: float = 0.0,
+             nu4: float = 0.0) -> TracerState:
     """Joint RK4 (main.cpp:286-317 structure); both stage tendencies are
     dealiased, the states never are; src fixed across stages."""
     d = functools.partial(tendency, t, src=src, nu=nu, kappa=kappa,
                           grid_shape=grid_shape, fwd=fwd, inv=inv,
-                          inv_pair=inv_pair, r_drag=r_drag, beta=beta)
+                          inv_pair=inv_pair, r_drag=r_drag, beta=beta,
+                          nu4=nu4)
 
     def dl(s):
         r = d(s)
@@ -187,19 +194,21 @@ class TracerModel:
 
         r_drag = float(cfg.r_drag)
         beta = float(cfg.beta)
+        nu4 = float(cfg.nu4)
 
         @functools.partial(jax.jit, static_argnames=())
         def step_(t_, state, src):
             return rk4_step(t_, state, src, dt, nu, kp, g,
                             fwd=fwd, inv=inv, inv_pair=inv_pair,
-                            r_drag=r_drag, beta=beta)
+                            r_drag=r_drag, beta=beta, nu4=nu4)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def segment_(t_, state, src, n_steps: int):
             def body(s, _):
                 return rk4_step(t_, s, src, dt, nu, kp, g, fwd=fwd,
                                 inv=inv, inv_pair=inv_pair,
-                                r_drag=r_drag, beta=beta), None
+                                r_drag=r_drag, beta=beta,
+                                nu4=nu4), None
             out, _ = jax.lax.scan(body, state, None, length=n_steps)
             return out
 

@@ -111,6 +111,34 @@ def split_linear() -> bool:
     return SPLIT_LINEAR not in ("0", "off", "")
 
 
+# Grid iteration order for the two grid-over-fields SW stages. With the
+# FIELD axis minor the per-field input blocks keep the same index across
+# consecutive grid steps, so the Pallas pipeline revisits them instead
+# of re-fetching: KA_SW re-reads 7 planes (6 state + rlap) per field =
+# ~714 MB/stage excess at 4096², and KY_FWD re-reads the 4 physical
+# fields per product = ~1.07 GB/stage. The cost is the barotropic
+# KA-probe lesson (BASELINE.md fminor entry): the stacked OUTPUT block
+# jumps across the field dim every step, stalling write-side
+# pipelining. Hardware A/B at 4096² fast mode, 20-step segments,
+# checksums identical (2026-08-19):
+#   fmajor/fmajor 41.44 ms/step | KA fminor 40.88 (1.4%, ADOPTED) |
+#   KY fminor alone 43.79 (write-side stall dominates its 5 tiny
+#   outputs) | both 40.83 (= KA alone within noise; KY stays fmajor)
+# KA wins where the barotropic KA probe lost because SW's KA re-reads 7
+# input planes per field vs barotropic's 3. Outputs are bit-identical
+# either way (pure iteration order) — pinned by
+# test_field_minor_orders_bit_identical.
+KA_FMINOR = _os.environ.get("XFB_SW_KA_ORDER", "fminor") == "fminor"
+KY_FMINOR = _os.environ.get("XFB_SW_KY_ORDER", "fmajor") == "fminor"
+
+
+def _fgrid(nf: int, nblocks: int, fminor: bool):
+    """(grid, fmap) with fmap(raw grid args) -> (field, block)."""
+    if fminor:
+        return (nblocks, nf), lambda a, b: (b, a)
+    return (nf, nblocks), lambda a, b: (a, b)
+
+
 def fused_rk() -> bool:
     """Fuse the RK stage axpys into COMBINE (models/shallow_water.py:
     rk4_step_planes) — one fewer elementwise pass per stage."""
@@ -211,23 +239,26 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
     tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
     factors = _sw_factors(kx, ky, nx, hny, eta_scale)
 
-    spec_in = pl.BlockSpec((nx, BLOCK), lambda f, i: (0, i),
+    grid, fm = _fgrid(4, pl.cdiv(hny, BLOCK), KA_FMINOR)
+    spec_in = pl.BlockSpec((nx, BLOCK), lambda a, b: (0, fm(a, b)[1]),
                            memory_space=pltpu.VMEM)
-    rvec = pl.BlockSpec((1, nx, 1), lambda f, i: (f, 0, 0),
+    rvec = pl.BlockSpec((1, nx, 1), lambda a, b: (fm(a, b)[0], 0, 0),
                         memory_space=pltpu.VMEM)
-    cvec = pl.BlockSpec((1, 1, BLOCK), lambda f, i: (f, 0, i),
+    cvec = pl.BlockSpec((1, 1, BLOCK),
+                        lambda a, b: (fm(a, b)[0], 0, fm(a, b)[1]),
                         memory_space=pltpu.VMEM)
-    svec = pl.BlockSpec((1, 1, 1), lambda f, i: (f, 0, 0),
+    svec = pl.BlockSpec((1, 1, 1), lambda a, b: (fm(a, b)[0], 0, 0),
                         memory_space=pltpu.VMEM)
     fac_specs = [rvec, rvec, cvec, cvec, svec,
                  rvec, rvec, cvec, cvec, svec, svec]
-    tab_spec = [pl.BlockSpec(t.shape, lambda f, i: (0, 0),
+    tab_spec = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
                              memory_space=pltpu.VMEM) for t in tables]
-    ow_spec = pl.BlockSpec((1, BLOCK, nx), lambda f, i: (f, i, 0),
+    ow_spec = pl.BlockSpec((1, BLOCK, nx),
+                           lambda a, b: (fm(a, b)[0], fm(a, b)[1], 0),
                            memory_space=pltpu.VMEM)
     wr, wi = pl.pallas_call(
         functools.partial(_ka_sw_kernel, nx),
-        grid=(4, pl.cdiv(hny, BLOCK)),
+        grid=grid,
         in_specs=[spec_in] * 7 + fac_specs + tab_spec,
         out_specs=(ow_spec, ow_spec),
         out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
@@ -299,7 +330,7 @@ def _ky_fwd_kernel(ny: int, f0: float, grav: float, split: bool,
     eta = et_ref[:] * ies_ref[0, 0]
     # split mode: linear parts ride COMBINE exactly (module note)
     q = ze_ref[:] if split else ze_ref[:] + f0
-    f = pl.program_id(0)
+    f = pl.program_id(1) if KY_FMINOR else pl.program_id(0)
     ke = 0.5 * (u * u + v * v)
     phi = ke if split else grav * eta + ke
     prod = jnp.where(
@@ -477,14 +508,23 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     if YFIRST:
         # --- KY_FWD: products + real-input partial y r2c (y-major in,
         # x-major half-spectrum out) ---
-        y_in = pl.BlockSpec((ny, BLOCK), lambda f, i: (0, i),
+        kygrid, kyfm = _fgrid(5, pl.cdiv(nx, BLOCK), KY_FMINOR)
+        y_in = pl.BlockSpec((ny, BLOCK), lambda a, b: (0, kyfm(a, b)[1]),
                             memory_space=pltpu.VMEM)
+        ky_ies = pl.BlockSpec((1, 1), lambda a, b: (0, 0),
+                              memory_space=pltpu.VMEM)
+        ky_tabs = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
+                                memory_space=pltpu.VMEM) for t in kc_tabs]
+        ky_out = pl.BlockSpec(
+            (1, BLOCK, hny),
+            lambda a, b: (kyfm(a, b)[0], kyfm(a, b)[1], 0),
+            memory_space=pltpu.VMEM)
         g1r, g1i = pl.pallas_call(
             functools.partial(_ky_fwd_kernel, ny, float(f0), float(grav),
                               split),
-            grid=(5, pl.cdiv(nx, BLOCK)),
-            in_specs=[y_in] * 4 + [ies_spec] + kc_tab_spec,
-            out_specs=(spec_out, spec_out),
+            grid=kygrid,
+            in_specs=[y_in] * 4 + [ky_ies] + ky_tabs,
+            out_specs=(ky_out, ky_out),
             out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
                        jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
             interpret=_interpret(),

@@ -200,20 +200,21 @@ class ShardedBarotropicModel:
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
         beta = float(cfg.beta)
+        nu4 = float(cfg.nu4)
         (t, fwd, inv, tspec, sspec, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
 
         def step_local(tl, zeta_hat, src):
             return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
                                        fwd=fwd, inv=inv, r_drag=r_drag,
-                                       beta=beta)
+                                       beta=beta, nu4=nu4)
 
         def segment_local(tl, zeta_hat, src, n_steps: int):
             def body(z, _):
                 return barotropic.rk4_step(tl, z, src, dt, nu, g,
                                            fwd=fwd, inv=inv,
                                            r_drag=r_drag,
-                                           beta=beta), None
+                                           beta=beta, nu4=nu4), None
             z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
             return z
 
@@ -375,9 +376,11 @@ class ShardedShallowWaterModel:
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
 
+        nu4 = float(cfg.nu4)
+
         def step_local(tl, s, src):
             return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
-                               fwd=fwd, inv=inv, r_drag=r_drag)
+                               fwd=fwd, inv=inv, r_drag=r_drag, nu4=nu4)
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
@@ -391,7 +394,7 @@ class ShardedShallowWaterModel:
                 def body(state, _):
                     return sw.rk4_step(tl, state, src, dt, f, grav, nu, H,
                                        g, fwd=fwd, inv=inv,
-                                       r_drag=r_drag), None
+                                       r_drag=r_drag, nu4=nu4), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
@@ -515,9 +518,11 @@ class ShardedTracerModel:
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = tr.TracerState(zeta_hat=spec1, q_hat=spec1)
 
+        nu4 = float(cfg.nu4)
+
         def step_local(tl, s, src):
             return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv,
-                               r_drag=r_drag, beta=beta)
+                               r_drag=r_drag, beta=beta, nu4=nu4)
 
         vma = fft_impl == "xla"
         step_sm = shard_map(step_local, mesh=mesh,
@@ -531,7 +536,8 @@ class ShardedTracerModel:
                 def body(state, _):
                     return tr.rk4_step(tl, state, src, dt, nu, kp, g,
                                        fwd=fwd, inv=inv,
-                                       r_drag=r_drag, beta=beta), None
+                                       r_drag=r_drag, beta=beta,
+                                       nu4=nu4), None
                 out, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return out
             return shard_map(seg_local, mesh=mesh,
