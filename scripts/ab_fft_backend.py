@@ -66,12 +66,17 @@ def main():
             pallas_fft.PRECISION = (_jax.lax.Precision.HIGH
                                     if name.endswith("-high")
                                     else _jax.lax.Precision.HIGHEST)
-            # reset the order toggles per entry so an -xfirst variant
-            # cannot leak into a later plain name and mislabel it
-            if not hasattr(main, "_default_order"):
-                main._default_order = (pallas_fft.FWD_YFIRST,
-                                       pallas_sw.YFIRST)
-            pallas_fft.FWD_YFIRST, pallas_sw.YFIRST = main._default_order
+            # reset every toggle to its SHIPPED (env-derived) default per
+            # entry so a variant suffix cannot leak into a later plain
+            # name and mislabel it; plain names therefore measure the
+            # shipped configuration, suffixes override explicitly
+            if not hasattr(main, "_defaults"):
+                main._defaults = (pallas_fft.FWD_YFIRST, pallas_sw.YFIRST,
+                                  pallas_fft.FUSEKB, pallas_fft.STORE,
+                                  pallas_sw.KA_FMINOR, pallas_sw.KY_FMINOR)
+            (pallas_fft.FWD_YFIRST, pallas_sw.YFIRST, pallas_fft.FUSEKB,
+             pallas_fft.STORE, pallas_sw.KA_FMINOR,
+             pallas_sw.KY_FMINOR) = main._defaults
             if "yfirst" in name or "xfirst" in name:
                 # forward-pipeline order A/B (in-process global toggle,
                 # safe like PLANE_STEPPER). Toggles BOTH families'
@@ -95,13 +100,22 @@ def main():
                 pallas_fft.FUSEKB = "full"
             elif "fusehalf" in name:
                 pallas_fft.FUSEKB = "half"
-            else:
+            elif "nofuse" in name:
                 pallas_fft.FUSEKB = "0"
+            # intermediate-plane storage A/B (pallas_fft STORE note)
+            if "bf16store" in name:
+                pallas_fft.STORE = "bf16"
+            elif "f32store" in name:
+                pallas_fft.STORE = "f32"
             # SW grid-order probes (pure iteration order, bit-identical)
-            pallas_sw.KA_FMINOR = ("kafminor" in name
-                                   or "bothminor" in name)
-            pallas_sw.KY_FMINOR = ("kyfminor" in name
-                                   or "bothminor" in name)
+            if "kafminor" in name or "bothminor" in name:
+                pallas_sw.KA_FMINOR = True
+            elif "kafmajor" in name:
+                pallas_sw.KA_FMINOR = False
+            if "kyfminor" in name or "bothminor" in name:
+                pallas_sw.KY_FMINOR = True
+            elif "kyfmajor" in name:
+                pallas_sw.KY_FMINOR = False
             planes = name.startswith("pallas-planes")
             build_name = "pallas"
         from xlab_fftbarotropic_tpu.models import barotropic as _bt

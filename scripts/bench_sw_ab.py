@@ -75,38 +75,49 @@ def main():
         return (r(a.zeta_hat, b.zeta_hat), r(a.div_hat, b.div_hat),
                 r(a.eta_hat, b.eta_hat))
 
-    from xlab_fftbarotropic_tpu.ops import pallas_sw
+    from xlab_fftbarotropic_tpu.ops import pallas_fft, pallas_sw
     default_yfirst = pallas_sw.YFIRST
     default_split = pallas_sw.SPLIT_LINEAR
+    default_store = pallas_fft.STORE
     wanted = args.backends.split(",")
     ref_out = None
     for name in wanted:
         t_build = time.perf_counter()
-        # reset the order/split toggles so a variant entry cannot leak
-        # into a later plain 'planes' row and mislabel the default config
+        # reset the order/split/store toggles so a variant entry cannot
+        # leak into a later plain 'planes' row and mislabel the default
         pallas_sw.YFIRST = default_yfirst
         pallas_sw.SPLIT_LINEAR = default_split
-        if name == "xla":
+        pallas_fft.STORE = default_store
+        # intermediate-plane storage A/B (pallas_fft STORE note):
+        # '-bf16store' / '-f32store' suffix on any planes variant
+        base = name
+        if base.endswith("-bf16store"):
+            pallas_fft.STORE = "bf16"
+            base = base[:-len("-bf16store")]
+        elif base.endswith("-f32store"):
+            pallas_fft.STORE = "f32"
+            base = base[:-len("-f32store")]
+        if base == "xla":
             m, s = build("xla")
-        elif name == "transforms":
+        elif base == "transforms":
             os.environ["XFB_PLANE_STEPPER_MAX"] = "0"
             try:
                 m, s = build("pallas")
             finally:
                 del os.environ["XFB_PLANE_STEPPER_MAX"]
-        elif name == "planes":
+        elif base == "planes":
             m, s = build("pallas")
-        elif name in ("planes-yfirst", "planes-xfirst"):
+        elif base in ("planes-yfirst", "planes-xfirst"):
             # forward-pipeline order A/B (module-global toggle, safe
             # in-process like PLANE_STEPPER; only BLOCK/PRECISION
             # rebuilds trip the lowering-cache bug)
-            pallas_sw.YFIRST = name.endswith("yfirst")
+            pallas_sw.YFIRST = base.endswith("yfirst")
             m, s = build("pallas")
-        elif name in ("planes-split", "planes-nosplit"):
+        elif base in ("planes-split", "planes-nosplit"):
             # split-linear formulation A/B (ops/pallas_sw.py module
             # note); pair with XFB_PALLAS_MM=default in the env for the
             # fast-transforms accuracy/speed comparison
-            pallas_sw.SPLIT_LINEAR = ("1" if name.endswith("-split")
+            pallas_sw.SPLIT_LINEAR = ("1" if base.endswith("-split")
                                       else "0")
             m, s = build("pallas")
         else:

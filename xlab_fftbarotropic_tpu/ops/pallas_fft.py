@@ -118,6 +118,36 @@ PRECISION = (jax.lax.Precision.HIGH
 #           1 pass) — same accuracy class as bf16, probe only.
 MM_MODE = _os.environ.get("XFB_PALLAS_MM", "fp32")
 
+# Storage dtype of the INTER-KERNEL intermediate planes of the fused
+# plane steppers (the KA w stacks, the KB physical fields, the forward
+# y-stage planes). Every one of these links feeds matmuls that already
+# round their inputs to bf16 in fast mode (MM_MODE bf16/default), so
+# storing them half-width adds one more rounding of the same magnitude
+# while halving that link's HBM traffic — ~22% of the barotropic step's
+# total traffic and ~28% of SW's at 4096² by the BASELINE.md roofline
+# count. The RK carry (state planes), the spectral tendency planes and
+# every table stay float32; f32 storage is bit-identical to the
+# historical pipeline (the inserted astype casts are no-ops).
+#   XFB_PALLAS_STORE: auto (default) | f32 | bf16
+# 'auto' currently resolves to f32 (PENDING hardware A/B at 4096²; the
+# intended end state mirrors split_linear/fusekb gating — bf16 exactly
+# when the kernel matmuls are lossy). fp32-HIGHEST mode keeps f32
+# stores regardless (the <1e-6 reference-parity contract).
+STORE = _os.environ.get("XFB_PALLAS_STORE", "auto")
+
+
+def store_dtype():
+    """Resolve the intermediate-plane storage dtype at trace time."""
+    if STORE in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _f32(x):
+    """Upcast an intermediate-plane block to the f32 compute dtype
+    (no-op when stores are f32)."""
+    return x.astype(jnp.float32)
+
 
 def _mm(lhs, rhs, dims):
     """All kernel matmuls route through here (MM_MODE switch).
@@ -443,8 +473,8 @@ def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
     xi = (t1r * bi + t1i * br) * rl
     yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
                         twi_ref[:], fbr_ref[:], fbi_ref[:])
-    owr_ref[0] = yr.T
-    owi_ref[0] = yi.T
+    owr_ref[0] = yr.T.astype(owr_ref.dtype)
+    owi_ref[0] = yi.T.astype(owi_ref.dtype)
 
 
 def _stack_factors(kx, ky, nx, hny):
@@ -467,12 +497,13 @@ def _stack_factors(kx, ky, nx, hny):
 
 def derivative_xstage_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
                              ky: jax.Array, rlap: jax.Array,
-                             grid_shape) -> tuple:
+                             grid_shape, store=None) -> tuple:
     """The grid-mode KA x-stage alone: ONE read of the spectral state
     planes emitting the stacked (4, hny, nx) mixed-domain planes
     (wr, wi) of (i kx Z, i ky Z, -i ky psi, i kx psi) — consumed by the
     KB pair y-stages (derivative_quad_planes) or by the fused
-    KB+advection kernel (kb_adv_full / kb_adv_half)."""
+    KB+advection kernel (kb_adv_full / kb_adv_half). `store` is the
+    output storage dtype (STORE note above; default float32)."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
@@ -507,14 +538,15 @@ def derivative_xstage_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
     ow_spec = pl.BlockSpec(
         (1, BLOCK, nx), lambda a, b: (_f(a, b)[0], _f(a, b)[1], 0),
         memory_space=pltpu.VMEM)
+    sd = store if store is not None else jnp.float32
     return pl.pallas_call(
         functools.partial(_ka_diag_kernel, nx),
         grid=g2,
         in_specs=[sp2, sp2, sp2, rvec_spec, rvec_spec, cvec_spec,
                   cvec_spec, e_spec] + t2,
         out_specs=(ow_spec, ow_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), sd),
+                   jax.ShapeDtypeStruct((4, hny, nx), sd)),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(zr, zi, rlap, ar, ai, br, bi, e, *tables)
@@ -672,11 +704,11 @@ def _kb_body(ny: int, war, wai, wbr, wbi,
         ny, war, wai, wbr, wbi, e1pr_ref, e1pi_ref, twpr_ref, twpi_ref,
         e1qr_ref, e1qi_ref, twqr_ref, twqi_ref, e2r_ref, e2i_ref, alt_ref)
     if transpose_out:
-        oa_ref[:] = outr.T
-        ob_ref[:] = outi.T
+        oa_ref[:] = outr.T.astype(oa_ref.dtype)
+        ob_ref[:] = outi.T.astype(ob_ref.dtype)
     else:
-        oa_ref[:] = outr
-        ob_ref[:] = outi
+        oa_ref[:] = outr.astype(oa_ref.dtype)
+        ob_ref[:] = outi.astype(ob_ref.dtype)
 
 
 def _kb_compute(ny: int, war, wai, wbr, wbi,
@@ -752,8 +784,10 @@ def _kb_kernel_stacked(ny: int, transpose_out: bool,
     """KB over two fields of the STACKED (4, hny, nx) quad output; the
     leading field index is pinned by the BlockSpec index_map."""
     half = ny // 2
-    _kb_body(ny, wr_a_ref[0, 0:half + 1, :], wi_a_ref[0, 0:half + 1, :],
-             wr_b_ref[0, 0:half + 1, :], wi_b_ref[0, 0:half + 1, :],
+    _kb_body(ny, _f32(wr_a_ref[0, 0:half + 1, :]),
+             _f32(wi_a_ref[0, 0:half + 1, :]),
+             _f32(wr_b_ref[0, 0:half + 1, :]),
+             _f32(wi_b_ref[0, 0:half + 1, :]),
              *rest, transpose_out=transpose_out)
 
 
@@ -784,11 +818,12 @@ def _kb_call(wat, wbt, ny: int, scale: float):
 
 
 def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float,
-                     transpose_out: bool = True):
+                     transpose_out: bool = True, store=None):
     """KB reading fields fa, fb directly out of the stacked (4, hny, nx)
     quad output — no slicing copy; the field index is pinned in the
     BlockSpec index_map. Returns a, b (nx, ny) — or (ny, nx) y-major
-    with transpose_out=False (free: the flip is just the write fold)."""
+    with transpose_out=False (free: the flip is just the write fold).
+    `store` sets the output storage dtype (STORE note; default f32)."""
     _, hny, nx = wr.shape
     tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
     grid = (pl.cdiv(nx, BLOCK),)
@@ -806,13 +841,14 @@ def _kb_call_stacked(wr, wi, fa: int, fb: int, ny: int, scale: float,
         out_spec = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         oshape = (ny, nx)
+    sd = store if store is not None else jnp.float32
     return pl.pallas_call(
         functools.partial(_kb_kernel_stacked, ny, transpose_out),
         grid=grid,
         in_specs=[fspec(fa), fspec(fa), fspec(fb), fspec(fb)] + tab_spec,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct(oshape, jnp.float32),
-                   jax.ShapeDtypeStruct(oshape, jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(oshape, sd),
+                   jax.ShapeDtypeStruct(oshape, sd)),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(wr, wi, wr, wi, *tables)
@@ -860,7 +896,7 @@ def _kb_adv_full_kernel(ny: int, beta: float, *refs):
     half = ny // 2
 
     def fld(r):
-        return r[0, 0:half + 1, :]
+        return _f32(r[0, 0:half + 1, :])
 
     zx, zy = _kb_compute(ny, fld(w0r), fld(w0i), fld(w1r), fld(w1i), *kb)
     u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
@@ -869,8 +905,8 @@ def _kb_adv_full_kernel(ny: int, beta: float, *refs):
     adv = -(u * zx) - v * zy + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
                       kc[3][:], kc[4][:], kc[5][:])
-    or_ref[:] = yr.T
-    oi_ref[:] = yi.T
+    or_ref[:] = yr.T.astype(or_ref.dtype)
+    oi_ref[:] = yi.T.astype(oi_ref.dtype)
 
 
 def _kb_adv_half_kernel(ny: int, beta: float, *refs):
@@ -881,15 +917,15 @@ def _kb_adv_half_kernel(ny: int, beta: float, *refs):
     half = ny // 2
 
     def fld(r):
-        return r[0, 0:half + 1, :]
+        return _f32(r[0, 0:half + 1, :])
 
     u, v = _kb_compute(ny, fld(w2r), fld(w2i), fld(w3r), fld(w3i), *kb)
-    zy = zy_ref[:] + beta if beta != 0.0 else zy_ref[:]
-    adv = -(u * zx_ref[:]) - v * zy + src_ref[:]
+    zy = _f32(zy_ref[:]) + beta if beta != 0.0 else _f32(zy_ref[:])
+    adv = -(u * _f32(zx_ref[:])) - v * zy + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, kc[0][:], kc[1][:], kc[2][:],
                       kc[3][:], kc[4][:], kc[5][:])
-    or_ref[:] = yr.T
-    oi_ref[:] = yi.T
+    or_ref[:] = yr.T.astype(or_ref.dtype)
+    oi_ref[:] = yi.T.astype(oi_ref.dtype)
 
 
 def _kb_adv_specs(ny: int, nx: int, kb_tables, kc_tables):
@@ -908,7 +944,7 @@ def _kb_adv_specs(ny: int, nx: int, kb_tables, kc_tables):
     return fspec, y_spec, tab_spec, row_spec
 
 
-def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0):
+def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0, store=None):
     """Stacked quad output (4, hny, nx) planes + y-major src (ny, nx)
     -> forward y-stage tendency planes (nx, hny): 2x KB + advection +
     real partial y r2c in ONE kernel (bit-identical to the composed
@@ -920,7 +956,8 @@ def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0):
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
     fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
         ny, nx, kb_tables, kc_tables)
-    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    plane = jax.ShapeDtypeStruct(
+        (nx, hny), store if store is not None else jnp.float32)
     return pl.pallas_call(
         functools.partial(_kb_adv_full_kernel, ny, float(beta)),
         grid=(pl.cdiv(nx, BLOCK),),
@@ -934,7 +971,8 @@ def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0):
     )(wr, wi, wr, wi, wr, wi, wr, wi, src, *kb_tables, *kc_tables)
 
 
-def kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta: float = 0.0):
+def kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta: float = 0.0,
+                store=None):
     """Half fusion: zx, zy arrive y-major from a materialized KB pair;
     the (u, v) KB pair + advection + y r2c run fused."""
     nx, ny = grid_shape[-2], grid_shape[-1]
@@ -944,7 +982,8 @@ def kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta: float = 0.0):
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
     fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
         ny, nx, kb_tables, kc_tables)
-    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    plane = jax.ShapeDtypeStruct(
+        (nx, hny), store if store is not None else jnp.float32)
     return pl.pallas_call(
         functools.partial(_kb_adv_half_kernel, ny, float(beta)),
         grid=(pl.cdiv(nx, BLOCK),),
@@ -1182,8 +1221,9 @@ def _ky_adv_kernel(ny: int, beta: float, u_ref, zx_ref, v_ref, zy_ref,
                    or_ref, oi_ref):
     # beta-plane: -u*zx - v*zy - beta*v = -u*zx - v*(zy + beta)
     # (static branch; beta=0 traces the exact f-plane expression)
-    zy = zy_ref[:] + beta if beta != 0.0 else zy_ref[:]
-    adv = -(u_ref[:] * zx_ref[:]) - v_ref[:] * zy + src_ref[:]
+    zy = _f32(zy_ref[:]) + beta if beta != 0.0 else _f32(zy_ref[:])
+    adv = -(_f32(u_ref[:]) * _f32(zx_ref[:])) - _f32(v_ref[:]) * zy \
+        + src_ref[:]
     yr, yi = _kc_body(ny, adv, None, far_ref[:], fai_ref[:], twr_ref[:],
                       twi_ref[:], fbr_ref[:], fbi_ref[:])
     or_ref[:] = yr.T
@@ -1197,7 +1237,7 @@ def _kx_fwd_bt_kernel(nx: int, xr_ref, xi_ref,
     # leading stacked-field dim); both are thin wrappers over _four_step
     # — change transform semantics THERE, not here
     m = xr_ref.shape[1]
-    yr, yi = _four_step(xr_ref[:], xi_ref[:], nx, m, far_ref[:],
+    yr, yi = _four_step(_f32(xr_ref[:]), _f32(xi_ref[:]), nx, m, far_ref[:],
                        fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
                        fbi_ref[:])
     # natural orientation: rows are already spectral x
@@ -1327,15 +1367,20 @@ def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
     """One full RK-stage tendency with the KB+advection fusion: KA grid
     x-stage -> KB_ADV (physical fields never in HBM) -> KX -> VISC.
     Bit-identical math to derivative_quad_planes(ymajor=True) +
-    forward_tendency_yfirst."""
+    forward_tendency_yfirst (with f32 stores; bf16 stores trade the
+    bf16-class storage rounding for ~22% of the step's HBM traffic —
+    STORE note at the top of the module)."""
     nx, ny = grid_shape[-2], grid_shape[-1]
-    wr, wi = derivative_xstage_planes(sr, si, kx, ky, rlap, grid_shape)
+    st = store_dtype()
+    wr, wi = derivative_xstage_planes(sr, si, kx, ky, rlap, grid_shape,
+                                      store=st)
     if mode == "full":
-        fr, fi = kb_adv_full(wr, wi, src, grid_shape, beta=beta)
+        fr, fi = kb_adv_full(wr, wi, src, grid_shape, beta=beta, store=st)
     elif mode == "half":
         zx, zy = _kb_call_stacked(wr, wi, 0, 1, ny, 1.0 / (nx * ny),
-                                  transpose_out=False)
-        fr, fi = kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta=beta)
+                                  transpose_out=False, store=st)
+        fr, fi = kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta=beta,
+                             store=st)
     else:
         raise ValueError(f"unknown fusekb mode {mode!r}")
     return forward_tail(fr, fi, lap, mask, sr, si, nu, grid_shape,

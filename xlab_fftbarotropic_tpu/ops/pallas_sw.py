@@ -60,9 +60,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-from .pallas_fft import (BLOCK, _compiler_params, _four_step, _interpret,
-                         _ka_tables, _kb_call_stacked, _kc_body,
-                         _kc_tables, _cmatmul_left, _dot2)
+from .pallas_fft import (BLOCK, _compiler_params, _f32, _four_step,
+                         _interpret, _ka_tables, _kb_call_stacked,
+                         _kc_body, _kc_tables, _cmatmul_left, _dot2,
+                         store_dtype)
 
 # Forward pipeline order. y-first (default) runs the real-input partial
 # r2c along the HALVED axis first (pallas_fft._kc_body with xi=None:
@@ -173,8 +174,8 @@ def _ka_sw_kernel(n: int, zr_ref, zi_ref, dr_ref, di_ref, er_ref, ei_ref,
     xi = x1i + x2i + c3 * ei_ref[:]
     yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
                         twi_ref[:], fbr_ref[:], fbi_ref[:])
-    owr_ref[0] = yr.T
-    owi_ref[0] = yi.T
+    owr_ref[0] = yr.T.astype(owr_ref.dtype)
+    owi_ref[0] = yi.T.astype(owi_ref.dtype)
 
 
 def _sw_factors(kx, ky, nx, hny, eta_scale):
@@ -228,11 +229,13 @@ def eta_pair_scale(planes):
 
 
 def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
-                        eta_scale=1.0):
+                        eta_scale=1.0, store=None):
     """(u, v, zeta, eta_scale*eta) physical fields from the SW spectral
     state planes in one fused pipeline: KA_SW (grid over 4 fields) + 2x
     stacked-KB. The eta slot comes back SCALED by eta_scale (see
-    _sw_factors); forward_tendencies unscales it in VMEM."""
+    _sw_factors); forward_tendencies unscales it in VMEM. `store` is
+    the intermediate/output storage dtype (pallas_fft STORE note;
+    None resolves via store_dtype())."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     scale = 1.0 / (nx * ny)
@@ -256,22 +259,23 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
     ow_spec = pl.BlockSpec((1, BLOCK, nx),
                            lambda a, b: (fm(a, b)[0], fm(a, b)[1], 0),
                            memory_space=pltpu.VMEM)
+    st = store if store is not None else store_dtype()
     wr, wi = pl.pallas_call(
         functools.partial(_ka_sw_kernel, nx),
         grid=grid,
         in_specs=[spec_in] * 7 + fac_specs + tab_spec,
         out_specs=(ow_spec, ow_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((4, hny, nx), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((4, hny, nx), st),
+                   jax.ShapeDtypeStruct((4, hny, nx), st)),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(zr, zi, dr, di, er, ei, rlap, *factors, *tables)
     # y-first forward consumes the physical fields y-major — the layout
     # flip is free (KB's folded transpose write, not an extra pass)
     u, v = _kb_call_stacked(wr, wi, 0, 1, ny, scale,
-                            transpose_out=not YFIRST)
+                            transpose_out=not YFIRST, store=st)
     zeta, eta = _kb_call_stacked(wr, wi, 2, 3, ny, scale,
-                                 transpose_out=not YFIRST)
+                                 transpose_out=not YFIRST, store=st)
     return u, v, zeta, eta
 
 
@@ -286,13 +290,13 @@ def _ka_fwd_kernel(n: int, f0: float, grav: float, split: bool,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    owr_ref, owi_ref):
     m = u_ref.shape[1]
-    u = u_ref[:]
-    v = v_ref[:]
+    u = _f32(u_ref[:])
+    v = _f32(v_ref[:])
     # undo the pairing equalizer (exact: 1/power-of-two)
-    eta = et_ref[:] * ies_ref[0, 0]
+    eta = _f32(et_ref[:]) * ies_ref[0, 0]
     # split mode: the f0*u / g*eta linear parts ride COMBINE exactly
     # (module note) — only the nonlinear products are transformed
-    q = ze_ref[:] if split else ze_ref[:] + f0
+    q = _f32(ze_ref[:]) if split else _f32(ze_ref[:]) + f0
     # product selected by grid index — VPU selects around ONE transform
     # body (a (1, 5) one-hot table block would violate Mosaic's min-tile
     # rule; program_id comparison keeps the table out entirely)
@@ -306,8 +310,8 @@ def _ka_fwd_kernel(n: int, f0: float, grav: float, split: bool,
                             jnp.where(f == 3, eta * v, phi))))
     yr, yi = _four_step(prod, None, n, m, far_ref[:], fai_ref[:],
                         twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
-    owr_ref[0] = yr.T
-    owi_ref[0] = yi.T
+    owr_ref[0] = yr.T.astype(owr_ref.dtype)
+    owi_ref[0] = yi.T.astype(owi_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -324,12 +328,12 @@ def _ky_fwd_kernel(ny: int, f0: float, grav: float, split: bool,
                    u_ref, v_ref, ze_ref, et_ref, ies_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
-    u = u_ref[:]
-    v = v_ref[:]
+    u = _f32(u_ref[:])
+    v = _f32(v_ref[:])
     # undo the pairing equalizer (exact: 1/power-of-two)
-    eta = et_ref[:] * ies_ref[0, 0]
+    eta = _f32(et_ref[:]) * ies_ref[0, 0]
     # split mode: linear parts ride COMBINE exactly (module note)
-    q = ze_ref[:] if split else ze_ref[:] + f0
+    q = _f32(ze_ref[:]) if split else _f32(ze_ref[:]) + f0
     f = pl.program_id(1) if KY_FMINOR else pl.program_id(0)
     ke = 0.5 * (u * u + v * v)
     phi = ke if split else grav * eta + ke
@@ -340,15 +344,15 @@ def _ky_fwd_kernel(ny: int, f0: float, grav: float, split: bool,
                             jnp.where(f == 3, eta * v, phi))))
     yr, yi = _kc_body(ny, prod, None, far_ref[:], fai_ref[:],
                       twr_ref[:], twi_ref[:], fbr_ref[:], fbi_ref[:])
-    or_ref[0] = yr.T
-    oi_ref[0] = yi.T
+    or_ref[0] = yr.T.astype(or_ref.dtype)
+    oi_ref[0] = yi.T.astype(oi_ref.dtype)
 
 
 def _kx_fwd_kernel(nx: int, xr_ref, xi_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
     m = xr_ref.shape[2]
-    yr, yi = _four_step(xr_ref[0], xi_ref[0], nx, m, far_ref[:],
+    yr, yi = _four_step(_f32(xr_ref[0]), _f32(xi_ref[0]), nx, m, far_ref[:],
                         fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
                         fbi_ref[:])
     # natural orientation — COMBINE reads (f, x, ky) directly
@@ -367,8 +371,8 @@ def _kc_sw_kernel(ny: int, xr_ref, xi_ref,
     b = ny // a
     m = xr_ref.shape[2]
     hk2 = b // 2 + 1
-    xr = xr_ref[0].reshape(a, b * m)
-    xi = xi_ref[0].reshape(a, b * m)
+    xr = _f32(xr_ref[0]).reshape(a, b * m)
+    xi = _f32(xi_ref[0]).reshape(a, b * m)
     s1r, s1i = _cmatmul_left(far_ref[:], fai_ref[:], xr, xi)
     s1r = s1r.reshape(a, b, m)
     s1i = s1i.reshape(a, b, m)
@@ -474,7 +478,7 @@ def _combine_axpy_kernel(nu: float, H: float, has_src: bool, split,
 def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
                        kx, ky, lap, mask, f0: float, grav: float,
                        nu: float, H: float, grid_shape, eta_scale=1.0,
-                       axpy=None):
+                       axpy=None, store=None):
     """Dealiased spectral tendency planes (dz, dd, de) of the SW RHS,
     fully fused: KA_FWD (products + forward x-stages) + KC_SW (forward
     y-stages) + COMBINE (gradients/Laplacians/viscosity/forcing/dealias).
@@ -492,6 +496,9 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     hny = ny // 2 + 1
     zr, zi, dr, di, er, ei = state_planes
     split = split_linear()
+    # storage dtype of the forward y-stage planes (the x-stage output
+    # pr/pi feeding COMBINE stays float32: it is the tendency spectrum)
+    st = store if store is not None else store_dtype()
 
     ies = (1.0 / jnp.asarray(eta_scale, jnp.float32)).reshape(1, 1)
     ies_spec = pl.BlockSpec((1, 1), lambda f, i: (0, 0),
@@ -525,8 +532,8 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
             grid=kygrid,
             in_specs=[y_in] * 4 + [ky_ies] + ky_tabs,
             out_specs=(ky_out, ky_out),
-            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
-                       jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), st),
+                       jax.ShapeDtypeStruct((5, nx, hny), st)),
             interpret=_interpret(),
             compiler_params=_compiler_params(),
         )(u, v, zeta, eta, ies, *kc_tabs)
@@ -558,8 +565,8 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
             grid=(5, pl.cdiv(ny, BLOCK)),
             in_specs=[f_in] * 4 + [ies_spec] + ka_tab_spec,
             out_specs=(ow_spec, ow_spec),
-            out_shape=(jax.ShapeDtypeStruct((5, ny, nx), jnp.float32),
-                       jax.ShapeDtypeStruct((5, ny, nx), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((5, ny, nx), st),
+                       jax.ShapeDtypeStruct((5, ny, nx), st)),
             interpret=_interpret(),
             compiler_params=_compiler_params(),
         )(u, v, zeta, eta, ies, *ka_tabs)
