@@ -73,9 +73,10 @@ def main():
             if not hasattr(main, "_defaults"):
                 main._defaults = (pallas_fft.FWD_YFIRST, pallas_sw.YFIRST,
                                   pallas_fft.FUSEKB, pallas_fft.STORE,
+                                  pallas_fft.FUSEKX,
                                   pallas_sw.KA_FMINOR, pallas_sw.KY_FMINOR)
             (pallas_fft.FWD_YFIRST, pallas_sw.YFIRST, pallas_fft.FUSEKB,
-             pallas_fft.STORE, pallas_sw.KA_FMINOR,
+             pallas_fft.STORE, pallas_fft.FUSEKX, pallas_sw.KA_FMINOR,
              pallas_sw.KY_FMINOR) = main._defaults
             if "yfirst" in name or "xfirst" in name:
                 # forward-pipeline order A/B (in-process global toggle,
@@ -107,6 +108,11 @@ def main():
                 pallas_fft.STORE = "bf16"
             elif "f32store" in name:
                 pallas_fft.STORE = "f32"
+            # KX+VISC epilogue fusion A/B (pallas_fft FUSEKX note)
+            if "fusekx" in name:
+                pallas_fft.FUSEKX = "1"
+            elif "nokx" in name:
+                pallas_fft.FUSEKX = "0"
             # SW grid-order probes (pure iteration order, bit-identical)
             if "kafminor" in name or "bothminor" in name:
                 pallas_sw.KA_FMINOR = True

@@ -157,3 +157,41 @@ def test_sw_store_f32_bit_identical_and_bf16_bounded(monkeypatch):
         err = _rel(ref[i], got[i])
         assert 1e-8 < err < tol, (i, err)
         assert np.isfinite(got[i]).all()
+
+
+@pytest.mark.parametrize("store", ["f32", "bf16"])
+def test_fusekx_bit_identical(store, monkeypatch):
+    """KX+VISC(+axpy) fusion (XFB_BT_FUSEKX) is a pure scheduling
+    change: same dot order, same epilogue math — trajectories must be
+    bit-identical to the unfused tail for either storage dtype."""
+    cfg = _bt_cfg()
+    t = SpectralTables.from_config(cfg)
+    z = _bt_state(cfg)
+    monkeypatch.setattr(pf, "STORE", store)
+    monkeypatch.setattr(pf, "FUSEKX", "0")
+    ref = _bt_traj(t, cfg, z)
+    monkeypatch.setattr(pf, "FUSEKX", "1")
+    got = _bt_traj(t, cfg, z)
+    assert np.array_equal(ref[0], got[0]) and np.array_equal(ref[1], got[1])
+
+
+def test_fusekx_nonaxpy_path(monkeypatch):
+    """The r4 stage (no axpy) also routes through the fused tail."""
+    cfg = _bt_cfg()
+    t = SpectralTables.from_config(cfg)
+    z = _bt_state(cfg)
+    g = cfg.grid_shape
+    src = jnp.zeros((g[1], g[0]), jnp.float32)
+    zr, zi = jnp.real(z), jnp.imag(z)
+    monkeypatch.setattr(pf, "FUSEKX", "0")
+    wr, wi = pf.derivative_xstage_planes(zr, zi, t.kx, t.ky, t.rlap, g)
+    zx, zy = pf._kb_call_stacked(wr, wi, 0, 1, g[1],
+                                 1.0 / (g[0] * g[1]), transpose_out=False)
+    fr, fi = pf.kb_adv_half(zx, zy, wr, wi, src, g)
+    ref = pf.forward_tail(fr, fi, t.lap, t.mask, zr, zi,
+                          float(cfg.nu), g)
+    monkeypatch.setattr(pf, "FUSEKX", "1")
+    got = pf.forward_tail(fr, fi, t.lap, t.mask, zr, zi,
+                          float(cfg.nu), g)
+    assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))

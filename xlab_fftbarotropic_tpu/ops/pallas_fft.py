@@ -129,10 +129,18 @@ MM_MODE = _os.environ.get("XFB_PALLAS_MM", "fp32")
 # every table stay float32; f32 storage is bit-identical to the
 # historical pipeline (the inserted astype casts are no-ops).
 #   XFB_PALLAS_STORE: auto (default) | f32 | bf16
-# 'auto' currently resolves to f32 (PENDING hardware A/B at 4096²; the
-# intended end state mirrors split_linear/fusekb gating — bf16 exactly
-# when the kernel matmuls are lossy). fp32-HIGHEST mode keeps f32
-# stores regardless (the <1e-6 reference-parity contract).
+# MEASURED ~NEUTRAL on hardware (2026-08-19, 4096² fast mode, one
+# process, 30/20-step segments): barotropic 19.72 -> 19.55 ms/step
+# (1.009x), SW 40.97 -> 40.72 (1.006x) — within run noise — at a small
+# accuracy cost (zeta rel-L2 vs the fp32 XLA core 2.48e-5 -> 2.59e-5
+# bt; 5.46e-5 -> 6.16e-5 zeta / 4.3e-4 -> 5.2e-4 eta SW). The Pallas
+# pipelines block DMA with compute, so the per-block CRITICAL PATH is
+# the VPU/MXU work, not the (already hidden) HBM transfers — cutting
+# traffic alone buys nothing until a kernel is DMA-bound. 'auto'
+# therefore resolves to f32 (simpler accuracy story at zero measured
+# cost); the knob stays for DMA-bound deployments and future shapes.
+# fp32-HIGHEST mode keeps f32 stores regardless (the <1e-6
+# reference-parity contract).
 STORE = _os.environ.get("XFB_PALLAS_STORE", "auto")
 
 
@@ -1310,11 +1318,55 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
                         axpy=axpy)
 
 
+# Fuse the VISC epilogue (+ RK stage axpy) INTO the KX forward kernel:
+# the tendency spectrum f2 never lands in HBM (268 MB/stage of
+# write+re-read deleted at 4096², ~12% of the fast step's traffic by
+# the roofline count). The epilogue operands (lap, mask, stage state,
+# base state) arrive as COLUMN blocks (nx, BLOCK) — elementwise math is
+# blocking-agnostic, and KX's grid already walks hny columns. The
+# historical objection ("no VMEM room", round-2 note) predates the
+# 100 MB scoped-vmem budget and the bf16 stores that halve KX's input
+# blocks. XFB_BT_FUSEKX: auto (default) | 0 | 1; auto is OFF pending
+# the hardware A/B.
+FUSEKX = _os.environ.get("XFB_BT_FUSEKX", "auto")
+
+
+def fusekx_on() -> bool:
+    if FUSEKX == "auto":
+        return False
+    return FUSEKX not in ("", "0")
+
+
+def _kx_visc_kernel(nx: int, nu: float, coef, xr_ref, xi_ref,
+                    lap_ref, mask_ref, zsr_ref, zsi_ref, *rest):
+    """KX four-step + VISC epilogue (+ optional axpy when coef is not
+    None: rest = (z0r_ref, z0i_ref, rr, ri, nr, ni), else (rr, ri))."""
+    m = xr_ref.shape[1]
+    tabs = rest[:-6] if coef is not None else rest[:-2]
+    # table refs sit between the plane refs and the outputs
+    if coef is not None:
+        z0r_ref, z0i_ref = rest[len(tabs):len(tabs) + 2]
+        outs = rest[len(tabs) + 2:]
+    else:
+        outs = rest[len(tabs):]
+    yr, yi = _four_step(_f32(xr_ref[:]), _f32(xi_ref[:]), nx, m,
+                        *(t[:] for t in tabs))
+    rr, ri = _visc_epilogue(nu, yr, yi, lap_ref[:], mask_ref[:],
+                            zsr_ref[:], zsi_ref[:])
+    outs[0][:] = rr
+    outs[1][:] = ri
+    if coef is not None:
+        outs[2][:] = z0r_ref[:] + coef * rr
+        outs[3][:] = z0i_ref[:] + coef * ri
+
+
 def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
                  axpy=None) -> tuple:
     """The y-first forward pipeline's tail: KX (x c2c over hny columns)
     + VISC (viscosity + dealias epilogue, optionally fused with the RK
-    stage axpy). Input: the forward y-stage planes (nx, hny)."""
+    stage axpy). Input: the forward y-stage planes (nx, hny). With
+    fusekx_on() the epilogue runs inside the KX kernel (column-blocked
+    operands) and the tendency spectrum never lands in HBM."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
@@ -1326,6 +1378,28 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
                                memory_space=pltpu.VMEM) for t in ka_tables]
     x_out = pl.BlockSpec((nx, BLOCK), lambda j: (0, j),
                          memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    if fusekx_on():
+        if axpy is None:
+            ins = (fr, fi, lap, mask, zr, zi, *ka_tables)
+            n_out, coef = 2, None
+        else:
+            z0r, z0i, coef = axpy
+            ins = (fr, fi, lap, mask, zr, zi, *ka_tables, z0r, z0i)
+            n_out = 4
+        n_planes = len(ins) - len(ka_tables)
+        specs = ([x_in] * 6 + tab_spec_a + [x_in] * (n_planes - 6))
+        outs = pl.pallas_call(
+            functools.partial(_kx_visc_kernel, nx, float(nu),
+                              None if coef is None else float(coef)),
+            grid=(pl.cdiv(hny, BLOCK),),
+            in_specs=specs,
+            out_specs=(x_out,) * n_out,
+            out_shape=(plane,) * n_out,
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(*ins)
+        return outs if axpy is not None else (outs[0], outs[1])
     f2 = pl.pallas_call(
         functools.partial(_kx_fwd_bt_kernel, nx),
         grid=(pl.cdiv(hny, BLOCK),),
