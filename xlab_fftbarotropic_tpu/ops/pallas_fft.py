@@ -1321,19 +1321,25 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
 # Fuse the VISC epilogue (+ RK stage axpy) INTO the KX forward kernel:
 # the tendency spectrum f2 never lands in HBM (268 MB/stage of
 # write+re-read deleted at 4096², ~12% of the fast step's traffic by
-# the roofline count). The epilogue operands (lap, mask, stage state,
-# base state) arrive as COLUMN blocks (nx, BLOCK) — elementwise math is
+# the roofline count) and one whole kernel launch per RK stage
+# disappears. The epilogue operands (lap, mask, stage state, base
+# state) arrive as COLUMN blocks (nx, BLOCK) — elementwise math is
 # blocking-agnostic, and KX's grid already walks hny columns. The
 # historical objection ("no VMEM room", round-2 note) predates the
-# 100 MB scoped-vmem budget and the bf16 stores that halve KX's input
-# blocks. XFB_BT_FUSEKX: auto (default) | 0 | 1; auto is OFF pending
-# the hardware A/B.
+# 100 MB scoped-vmem budget. XFB_BT_FUSEKX: auto (default) | 0 | 1.
+# ADOPTED (hardware A/B 2026-08-19, 4096², 30-step segments,
+# BIT-IDENTICAL outputs both modes): fast 19.53 -> 18.81 ms/step
+# (1.038x, 892 M gp/s); fp32 HIGHEST 42.76 -> 40.78 (1.049x,
+# 411 M gp/s) — unlike the traffic-only bf16-store probe, deleting the
+# separate DMA-bound VISC pass (and its launch) shortens the critical
+# path in BOTH matmul regimes, so 'auto' is ON wherever the y-first
+# plane stepper runs.
 FUSEKX = _os.environ.get("XFB_BT_FUSEKX", "auto")
 
 
 def fusekx_on() -> bool:
     if FUSEKX == "auto":
-        return False
+        return True
     return FUSEKX not in ("", "0")
 
 
