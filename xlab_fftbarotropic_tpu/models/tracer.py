@@ -20,9 +20,13 @@ kappa (default 0: purely advective, the Nakamura limit where kappa_eff /
 kappa measures contour stretching alone).
 
 Transform cost per RK stage: 6 inverses (zeta_x, zeta_y, u, v, q_x, q_y
-— Hermitian-paired into 3 complex ifft2) + 2 forwards. Single-device
-path (any fft backend's plain transform set); the plane-state Pallas
-stepper and the sharded variants remain barotropic/SW-only.
+— Hermitian-paired into 3 complex ifft2) + 2 forwards on the XLA path.
+On TPU at the plane-stepper sizes the family runs the fully fused
+Pallas plane-state pipeline (ops/pallas_tracer.py: KA6 grid x-stage,
+KB pairs, fused (u,v)+both-products+two-r2c KB_ADV, stacked KX+VISC
+tail with the per-field diffusion table fold) via fft_backend='auto',
+like the barotropic and SW families. The sharded variants remain
+barotropic/SW-only.
 """
 
 from __future__ import annotations
@@ -196,21 +200,63 @@ class TracerModel:
         beta = float(cfg.beta)
         nu4 = float(cfg.nu4)
 
-        @functools.partial(jax.jit, static_argnames=())
-        def step_(t_, state, src):
-            return rk4_step(t_, state, src, dt, nu, kp, g,
-                            fwd=fwd, inv=inv, inv_pair=inv_pair,
-                            r_drag=r_drag, beta=beta, nu4=nu4)
+        from .barotropic import use_plane_stepper
+        if resolved == "pallas" and use_plane_stepper(g):
+            # fully fused plane-state path (ops/pallas_tracer.py).
+            # Diffusion/drag/hyperviscosity ride the STACKED table fold
+            # lap2 = [nu*lap - r - nu4*lap^2 | kappa*lap] (the exact
+            # barotropic build() trick, one slot per prognostic field);
+            # the forcing field is transposed y-major once per jit call.
+            from ..ops import pallas_tracer as _pt
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment_(t_, state, src, n_steps: int):
-            def body(s, _):
-                return rk4_step(t_, s, src, dt, nu, kp, g, fwd=fwd,
-                                inv=inv, inv_pair=inv_pair,
-                                r_drag=r_drag, beta=beta,
-                                nu4=nu4), None
-            out, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return out
+            lap2 = jnp.stack([t.lap * nu - r_drag - nu4 * t.lap * t.lap,
+                              t.lap * kp])
+
+            def _planes(state: TracerState):
+                return (jnp.stack([jnp.real(state.zeta_hat),
+                                   jnp.real(state.q_hat)]),
+                        jnp.stack([jnp.imag(state.zeta_hat),
+                                   jnp.imag(state.q_hat)]))
+
+            def _state(sr2, si2):
+                return TracerState(jax.lax.complex(sr2[0], si2[0]),
+                                   jax.lax.complex(sr2[1], si2[1]))
+
+            @jax.jit
+            def step_(t_, state, src):
+                sr2, si2 = _planes(state)
+                sr2, si2 = _pt.rk4_step_tracer_planes(
+                    t_, sr2, si2, jnp.transpose(src), dt, lap2, g,
+                    beta=beta)
+                return _state(sr2, si2)
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t_, state, src, n_steps: int):
+                src_l = jnp.transpose(src)
+
+                def body(c, _):
+                    return _pt.rk4_step_tracer_planes(
+                        t_, c[0], c[1], src_l, dt, lap2, g,
+                        beta=beta), None
+                c, _ = jax.lax.scan(body, _planes(state), None,
+                                    length=n_steps)
+                return _state(*c)
+        else:
+            @functools.partial(jax.jit, static_argnames=())
+            def step_(t_, state, src):
+                return rk4_step(t_, state, src, dt, nu, kp, g,
+                                fwd=fwd, inv=inv, inv_pair=inv_pair,
+                                r_drag=r_drag, beta=beta, nu4=nu4)
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment_(t_, state, src, n_steps: int):
+                def body(s, _):
+                    return rk4_step(t_, s, src, dt, nu, kp, g, fwd=fwd,
+                                    inv=inv, inv_pair=inv_pair,
+                                    r_drag=r_drag, beta=beta,
+                                    nu4=nu4), None
+                out, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return out
 
         @jax.jit
         def diags_(t_, state):
