@@ -49,6 +49,13 @@ def measure_tpu(nx: int, steps: int, model_kind: str = "barotropic") -> float:
         model = ShallowWaterModel.build(cfg)
         z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
         src = None
+    elif model_kind == "tracer":
+        from xlab_fftbarotropic_tpu.models.tracer import (TracerModel,
+                                                          tracer_ic)
+        model = TracerModel.build(cfg, kappa=50.0)
+        z = model.init_state(makefields.gaussian(cfg),
+                             tracer_ic(cfg, "gaussian"))
+        src = model.zero_source()
     else:
         from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
         model = BarotropicModel.build(cfg)
@@ -98,7 +105,7 @@ def main():
     ap.add_argument("--oracle-nx", type=int, default=256)
     ap.add_argument("--oracle-steps", type=int, default=10)
     ap.add_argument("--model", default="barotropic",
-                    choices=["barotropic", "sw", "shallow-water"])
+                    choices=["barotropic", "sw", "shallow-water", "tracer"])
     ap.add_argument("--quick", action="store_true",
                     help="small grid for smoke runs")
     ap.add_argument("--mm", default="fast", choices=["fast", "fp32"],
@@ -130,7 +137,8 @@ def main():
         print(f"# oracle baseline failed: {e}", file=sys.stderr)
         base = None
 
-    tag = "" if args.model == "barotropic" else "_sw"
+    tag = ("" if args.model == "barotropic"
+           else "_tracer" if args.model == "tracer" else "_sw")
     out = {
         "metric": f"rk4{tag}_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
         "value": round(gps, 1),

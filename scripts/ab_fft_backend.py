@@ -23,7 +23,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--backends", nargs="+", default=["xla", "mxu"])
     ap.add_argument("--model", default="barotropic",
-                    choices=["barotropic", "sw"])
+                    choices=["barotropic", "sw", "tracer"])
+    ap.add_argument("--kappa", type=float, default=50.0,
+                    help="tracer diffusivity (tracer model only)")
     ap.add_argument("--dt", type=float, default=None,
                     help="override cfg.dt (the SW gravity-wave CFL bound "
                          "is ~0.85 s at 4096^2; barotropic default 3 s)")
@@ -133,6 +135,13 @@ def main():
             model = ShallowWaterModel.build(cfg)
             z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
             src = None
+        elif args.model == "tracer":
+            from xlab_fftbarotropic_tpu.models.tracer import (
+                TracerModel, tracer_ic)
+            model = TracerModel.build(cfg, kappa=args.kappa)
+            vort0 = makefields.gaussian(cfg)
+            z = model.init_state(vort0, tracer_ic(cfg, "gaussian"))
+            src = model.zero_source()
         else:
             model = BarotropicModel.build(cfg)
             z = model.init_state(makefields.gaussian(cfg))
