@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--steps", type=int, default=10,
                     help="rollout length n (RK4 steps per timing unit)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--backend", default="xla",
+                    help="fft backend for the differentiable rollout "
+                         "(xla | pallas — the custom-VJP fused kernels, "
+                         "ops/pallas_diff.py; pair with "
+                         "XFB_PALLAS_MM=default for fast-transforms "
+                         "gradients)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +52,8 @@ def main():
 
     n = args.steps
     for nx in [int(s) for s in args.sizes.split(",")]:
-        cfg = ModelConfig(nx=nx, ny=nx, dt=3.0, nu=6.5)
+        cfg = ModelConfig(nx=nx, ny=nx, dt=3.0, nu=6.5,
+                          fft_backend=args.backend)
         ic = jnp.asarray(0.1 * makefields.gaussian(cfg))
         src = jnp.zeros(cfg.grid_shape, jnp.float32)
 
@@ -83,7 +90,7 @@ def main():
         fwd_s = time_fwd()
         grad_s, val, chk = time_grad()
         print(json.dumps({
-            "nx": nx, "n_steps": n,
+            "nx": nx, "n_steps": n, "backend": args.backend,
             "fwd_ms_per_step": 1e3 * fwd_s / n,
             "grad_ms_per_step": 1e3 * grad_s / n,
             "grad_over_fwd": grad_s / fwd_s,

@@ -16,13 +16,16 @@ the fly — the standard recursive-checkpointing trade (Griewank's revolve,
 one level deep) expressed as two nested scans XLA compiles into one
 program.
 
-Differentiation runs on the XLA FFT path (`jnp.fft` has registered
-JVP/VJP rules); the hand-written Pallas kernels are forward-only, so the
-rollouts built here always resolve `fft_backend="xla"` regardless of the
-config's choice. Gradients are taken with respect to PHYSICAL-space
-inputs (real float32 fields): the spectral transform sits inside the
-differentiated function, which keeps the cotangents real and sidesteps
-complex-holomorphy bookkeeping.
+Differentiation runs on the XLA FFT path by default (`jnp.fft` has
+registered JVP/VJP rules) — or, where the config resolves
+`fft_backend="pallas"`, on the fused Pallas transforms through their
+hand-written custom VJPs (`ops/pallas_diff.py`: the backward pass also
+runs the Pallas kernels, so the gradient costs Pallas-transform time in
+both sweeps; gradients pinned against the XLA path at float32 round-off
+in tests/test_pallas_diff.py). Gradients are taken with respect to
+PHYSICAL-space inputs (real float32 fields): the spectral transform
+sits inside the differentiated function, which keeps the cotangents
+real and sidesteps complex-holomorphy bookkeeping.
 
 All three single-device model families are supported:
 
@@ -93,6 +96,11 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
     in physical space (the forced-run contract: one source held across a
     segment, main.cpp:225-227); pass zeros for a free run. Both arguments
     are differentiable.
+
+    The transform backend follows cfg.fft_backend ('auto' resolves per
+    grid/hardware as in the forward models): on the pallas resolution the
+    whole differentiable rollout — forward AND backward sweep — runs the
+    fused Pallas transforms via their custom VJPs (ops/pallas_diff.py).
     """
     t = sp.SpectralTables.from_config(cfg)
     g = cfg.grid_shape
@@ -104,43 +112,57 @@ def make_rollout(cfg: ModelConfig, n_steps: int,
         raise NotImplementedError("beta-plane is barotropic/tracer-only "
                                   "(config.py beta note)")
 
+    resolved = bt.resolve_fft_backend_name(cfg.fft_backend, g)
+    if resolved == "pallas":
+        from .ops import pallas_diff as pdiff
+        fwd = pdiff.forward
+        inv = pdiff.inverse
+        inv_pair = pdiff.inverse_pair
+    else:
+        fwd, inv, inv_pair = fft.forward, fft.inverse, fft.inverse_pair
+
     if model_kind == "barotropic":
         def raw(tables, vort0, src):
-            z = fft.forward(jnp.asarray(vort0, jnp.float32))
+            z = fwd(jnp.asarray(vort0, jnp.float32))
             step = lambda zh: bt.rk4_step(tables, zh, src, dt, nu, g,
+                                          fwd=fwd, inv=inv,
+                                          inv_pair=inv_pair,
                                           r_drag=r_drag, beta=beta,
                                           nu4=nu4)
             z = _checkpointed_scan(step, z, n_steps, segment)
-            return fft.inverse(z, g)
+            return inv(z, g)
     elif model_kind == "sw":
         f, grav, H = float(cfg.f), float(cfg.gravity), float(cfg.mean_depth)
         fg = f / grav
 
         def raw(tables, vort0, src):
-            zh = fft.forward(jnp.asarray(vort0, jnp.float32))
+            zh = fwd(jnp.asarray(vort0, jnp.float32))
             psi = sp.invert_laplacian(tables, zh)
             eta = fg * psi
             eta = eta.at[0, 0].set(0.0)     # mean mode carries no tilt
             s = sw.SWState(zeta_hat=zh, div_hat=jnp.zeros_like(zh),
                            eta_hat=eta)
             step = lambda st: sw.rk4_step(tables, st, src, dt, f, grav,
-                                          nu, H, g, r_drag=r_drag,
-                                          nu4=nu4)
+                                          nu, H, g, fwd=fwd, inv=inv,
+                                          inv_pair=inv_pair,
+                                          r_drag=r_drag, nu4=nu4)
             s = _checkpointed_scan(step, s, n_steps, segment)
-            return (fft.inverse(s.zeta_hat, g), fft.inverse(s.div_hat, g),
-                    fft.inverse(s.eta_hat, g))
+            return (inv(s.zeta_hat, g), inv(s.div_hat, g),
+                    inv(s.eta_hat, g))
     elif model_kind == "tracer":
         kappa = float(tracer_kappa)
 
         def raw(tables, ic, src):
             vort0, q0 = ic
-            s = tr.TracerState(fft.forward(jnp.asarray(vort0, jnp.float32)),
-                               fft.forward(jnp.asarray(q0, jnp.float32)))
+            s = tr.TracerState(fwd(jnp.asarray(vort0, jnp.float32)),
+                               fwd(jnp.asarray(q0, jnp.float32)))
             step = lambda st: tr.rk4_step(tables, st, src, dt, nu, kappa,
-                                          g, r_drag=r_drag, beta=beta,
+                                          g, fwd=fwd, inv=inv,
+                                          inv_pair=inv_pair,
+                                          r_drag=r_drag, beta=beta,
                                           nu4=nu4)
             s = _checkpointed_scan(step, s, n_steps, segment)
-            return fft.inverse(s.zeta_hat, g), fft.inverse(s.q_hat, g)
+            return inv(s.zeta_hat, g), inv(s.q_hat, g)
     else:
         raise ValueError(f"unknown model_kind {model_kind!r}")
 
