@@ -45,7 +45,10 @@ def measure_tpu(nx: int, steps: int, model_kind: str = "barotropic") -> float:
     cfg = ModelConfig(nx=nx, ny=nx)
     if model_kind in ("shallow-water", "sw"):
         from xlab_fftbarotropic_tpu.models.shallow_water import (
-            ShallowWaterModel)
+            ShallowWaterModel, max_stable_dt)
+        # the default dt=3 s violates the RK4 gravity-wave CFL bound at
+        # >= 2048^2 (0.847 s at 4096^2) and the segment would NaN
+        cfg = cfg.replace(dt=min(float(cfg.dt), max_stable_dt(cfg)))
         model = ShallowWaterModel.build(cfg)
         z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
         src = None

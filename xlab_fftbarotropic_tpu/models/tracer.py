@@ -222,25 +222,34 @@ class TracerModel:
                 return TracerState(jax.lax.complex(sr2[0], si2[0]),
                                    jax.lax.complex(sr2[1], si2[1]))
 
+            # lap2 rides as a JIT ARGUMENT like the tables — closure
+            # device constants get fetched at lowering over the axon
+            # tunnel (CLAUDE.md; the barotropic build() precedent)
             @jax.jit
-            def step_(t_, state, src):
+            def _step_impl(t_, lap2_, state, src):
                 sr2, si2 = _planes(state)
                 sr2, si2 = _pt.rk4_step_tracer_planes(
-                    t_, sr2, si2, jnp.transpose(src), dt, lap2, g,
+                    t_, sr2, si2, jnp.transpose(src), dt, lap2_, g,
                     beta=beta)
                 return _state(sr2, si2)
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
-            def segment_(t_, state, src, n_steps: int):
+            def _segment_impl(t_, lap2_, state, src, n_steps: int):
                 src_l = jnp.transpose(src)
 
                 def body(c, _):
                     return _pt.rk4_step_tracer_planes(
-                        t_, c[0], c[1], src_l, dt, lap2, g,
+                        t_, c[0], c[1], src_l, dt, lap2_, g,
                         beta=beta), None
                 c, _ = jax.lax.scan(body, _planes(state), None,
                                     length=n_steps)
                 return _state(*c)
+
+            def step_(t_, state, src):
+                return _step_impl(t_, lap2, state, src)
+
+            def segment_(t_, state, src, n_steps: int):
+                return _segment_impl(t_, lap2, state, src, n_steps)
         else:
             @functools.partial(jax.jit, static_argnames=())
             def step_(t_, state, src):

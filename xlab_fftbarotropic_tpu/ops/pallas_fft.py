@@ -139,8 +139,9 @@ MM_MODE = _os.environ.get("XFB_PALLAS_MM", "fp32")
 # traffic alone buys nothing until a kernel is DMA-bound. 'auto'
 # therefore resolves to f32 (simpler accuracy story at zero measured
 # cost); the knob stays for DMA-bound deployments and future shapes.
-# fp32-HIGHEST mode keeps f32 stores regardless (the <1e-6
-# reference-parity contract).
+# Default/'auto' never goes lossy, so fp32-HIGHEST runs keep the <1e-6
+# reference-parity contract; an EXPLICIT XFB_PALLAS_STORE=bf16 wins
+# over any matmul mode (a deliberate probe, like XFB_PALLAS_MM=bf16).
 STORE = _os.environ.get("XFB_PALLAS_STORE", "auto")
 
 
@@ -461,28 +462,35 @@ def _ka_field_minor() -> bool:
     return KA_FIELD_MINOR
 
 
-def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
-                    ar_ref, ai_ref, br_ref, bi_ref, e_ref,
-                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
-                    owr_ref, owi_ref):
-    """One four-step inverse transform of D * Z where the diagonal
-    D = (ar + i ai)[rows] * (br + i bi)[cols] * rlap^e is selected by the
-    field-index grid dimension through the stacked factor inputs."""
-    m = zr_ref.shape[1]
-    zr, zi = zr_ref[:], zi_ref[:]
-    ar = ar_ref[0]                        # (n, 1)
-    ai = ai_ref[0]
-    br = br_ref[0]                        # (1, m)
-    bi = bi_ref[0]
-    rl = 1.0 + e_ref[0] * (rlap_ref[:] - 1.0)   # rlap^e, e in {0, 1}
+def _ka_diag_compute(n: int, zr, zi, rlap, ar, ai, br, bi, e, tabs):
+    """The KA diagonal-times-four-step body: one inverse transform of
+    D * Z with D = (ar + i ai)[rows] * (br + i bi)[cols] * rlap^e —
+    shared by the barotropic grid-mode kernel below and the tracer
+    family's stacked-state twin (ops/pallas_tracer.py:_ka6_kernel).
+    Returns the TRANSPOSED mixed-domain planes (m, n)."""
+    m = zr.shape[1]
+    rl = 1.0 + e * (rlap - 1.0)            # rlap^e, e in {0, 1}
     t1r = zr * ar - zi * ai
     t1i = zr * ai + zi * ar
     xr = (t1r * br - t1i * bi) * rl
     xi = (t1r * bi + t1i * br) * rl
-    yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
-                        twi_ref[:], fbr_ref[:], fbi_ref[:])
-    owr_ref[0] = yr.T.astype(owr_ref.dtype)
-    owi_ref[0] = yi.T.astype(owi_ref.dtype)
+    yr, yi = _four_step(xr, xi, n, m, *tabs)
+    return yr.T, yi.T
+
+
+def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
+                    ar_ref, ai_ref, br_ref, bi_ref, e_ref,
+                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                    owr_ref, owi_ref):
+    """Grid-mode KA: the field-index grid dimension selects the stacked
+    diagonal factor inputs (ar (n,1), br (1,m), e scalar)."""
+    yrt, yit = _ka_diag_compute(
+        n, zr_ref[:], zi_ref[:], rlap_ref[:],
+        ar_ref[0], ai_ref[0], br_ref[0], bi_ref[0], e_ref[0],
+        (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+         fbi_ref[:]))
+    owr_ref[0] = yrt.astype(owr_ref.dtype)
+    owi_ref[0] = yit.astype(owi_ref.dtype)
 
 
 def _stack_factors(kx, ky, nx, hny):
@@ -936,7 +944,7 @@ def _kb_adv_half_kernel(ny: int, beta: float, *refs):
     oi_ref[:] = yi.T.astype(oi_ref.dtype)
 
 
-def _kb_adv_specs(ny: int, nx: int, kb_tables, kc_tables):
+def _kb_adv_specs(ny: int, kb_tables, kc_tables):
     hny = ny // 2 + 1
 
     def fspec(f):
@@ -963,7 +971,7 @@ def kb_adv_full(wr, wi, src, grid_shape, beta: float = 0.0, store=None):
     kb_tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
     fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
-        ny, nx, kb_tables, kc_tables)
+        ny, kb_tables, kc_tables)
     plane = jax.ShapeDtypeStruct(
         (nx, hny), store if store is not None else jnp.float32)
     return pl.pallas_call(
@@ -989,7 +997,7 @@ def kb_adv_half(zx, zy, wr, wi, src, grid_shape, beta: float = 0.0,
     kb_tables = [jnp.asarray(t) for t in _kb_tables(ny, scale)]
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
     fspec, y_spec, tab_spec, row_spec = _kb_adv_specs(
-        ny, nx, kb_tables, kc_tables)
+        ny, kb_tables, kc_tables)
     plane = jax.ShapeDtypeStruct(
         (nx, hny), store if store is not None else jnp.float32)
     return pl.pallas_call(
@@ -1333,7 +1341,11 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
 # 411 M gp/s) — unlike the traffic-only bf16-store probe, deleting the
 # separate DMA-bound VISC pass (and its launch) shortens the critical
 # path in BOTH matmul regimes, so 'auto' is ON wherever the y-first
-# plane stepper runs.
+# plane stepper runs. Scope: barotropic only — the tracer family's
+# forward_tail_tracer (ops/pallas_tracer.py) is ALWAYS fused (no
+# unfused variant exists there; its global escape hatch is
+# XFB_PLANE_STEPPER_MAX=0, and its bit-parity vs the XLA core is
+# pinned at 2e-9 on hardware, BASELINE.md).
 FUSEKX = _os.environ.get("XFB_BT_FUSEKX", "auto")
 
 
@@ -1417,7 +1429,6 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
         compiler_params=_compiler_params(),
     )(fr, fi, *ka_tables)
 
-    plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
     if axpy is None:
         return pl.pallas_call(
             functools.partial(_visc_kernel, float(nu)),

@@ -59,22 +59,16 @@ def _ka6_kernel(n: int, sr_ref, si_ref, rlap_ref,
                 far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                 owr_ref, owi_ref):
     """One four-step inverse transform of D * S[state(f)] — the
-    stacked-state twin of pallas_fft._ka_diag_kernel."""
-    m = sr_ref.shape[2]
-    zr, zi = sr_ref[0], si_ref[0]
-    ar = ar_ref[0]                        # (n, 1)
-    ai = ai_ref[0]
-    br = br_ref[0]                        # (1, m)
-    bi = bi_ref[0]
-    rl = 1.0 + e_ref[0] * (rlap_ref[:] - 1.0)   # rlap^e, e in {0, 1}
-    t1r = zr * ar - zi * ai
-    t1i = zr * ai + zi * ar
-    xr = (t1r * br - t1i * bi) * rl
-    xi = (t1r * bi + t1i * br) * rl
-    yr, yi = _four_step(xr, xi, n, m, far_ref[:], fai_ref[:], twr_ref[:],
-                        twi_ref[:], fbr_ref[:], fbi_ref[:])
-    owr_ref[0] = yr.T.astype(owr_ref.dtype)
-    owi_ref[0] = yi.T.astype(owi_ref.dtype)
+    stacked-state twin of pallas_fft._ka_diag_kernel (the transform
+    math lives in the shared pallas_fft._ka_diag_compute)."""
+    from .pallas_fft import _ka_diag_compute
+    yrt, yit = _ka_diag_compute(
+        n, sr_ref[0], si_ref[0], rlap_ref[:],
+        ar_ref[0], ai_ref[0], br_ref[0], bi_ref[0], e_ref[0],
+        (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+         fbi_ref[:]))
+    owr_ref[0] = yrt.astype(owr_ref.dtype)
+    owi_ref[0] = yit.astype(owi_ref.dtype)
 
 
 def _tracer_factors(kx, ky, nx, hny):
@@ -136,7 +130,6 @@ def tracer_xstage_planes(sr2, si2, kx, ky, rlap, grid_shape, store=None):
 # ---------------------------------------------------------------------------
 
 def _kb_adv_tracer_kernel(ny: int, beta: float, has_src: bool, *refs):
-    n_in = 7 if has_src else 6
     (zx_ref, zy_ref, qx_ref, qy_ref, w2r, w2i, w3r, w3i) = refs[:8]
     rest = refs[8:]
     src_ref = rest[0] if has_src else None
@@ -144,7 +137,6 @@ def _kb_adv_tracer_kernel(ny: int, beta: float, has_src: bool, *refs):
     kb = rest[:11]
     kc = rest[11:17]
     or_ref, oi_ref = rest[17:]
-    del n_in
     half = ny // 2
 
     def fld(r):
