@@ -46,8 +46,26 @@ def main(argv=None):
                     help="constant vorticity source field (.bin)")
     ap.add_argument("--segment", type=int, default=None,
                     help="checkpoint segment length (default ~sqrt(steps))")
+    ap.add_argument("--fast-transforms", action="store_true",
+                    help="single-pass bf16 Pallas kernel matmuls in BOTH "
+                         "adjoint sweeps (the custom-VJP fused transforms, "
+                         "ops/pallas_diff.py): gradient steps measured "
+                         "2.8x faster at 4096^2 (BASELINE.md adjoint "
+                         "ledger) at bf16-class transform accuracy; the "
+                         "float32 default keeps reference-parity "
+                         "gradients. TPU-only effect.")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
+
+    if args.fast_transforms:
+        import os
+        os.environ["XFB_PALLAS_MM"] = "default"
+        mod = sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
+        if mod is not None:     # imported before the env var landed
+            mod.MM_MODE = "default"
+        print("# fast transforms: bf16 Pallas matmuls in the "
+              "differentiable rollout (fp32 default keeps parity)",
+              file=sys.stderr)
 
     import numpy as np
     import jax.numpy as jnp
