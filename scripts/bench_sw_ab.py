@@ -79,6 +79,8 @@ def main():
     default_yfirst = pallas_sw.YFIRST
     default_split = pallas_sw.SPLIT_LINEAR
     default_store = pallas_fft.STORE
+    default_kyall = pallas_sw.KY_ALL
+    default_pstore = pallas_sw.PSTORE
     wanted = args.backends.split(",")
     ref_out = None
     for name in wanted:
@@ -88,9 +90,17 @@ def main():
         pallas_sw.YFIRST = default_yfirst
         pallas_sw.SPLIT_LINEAR = default_split
         pallas_fft.STORE = default_store
+        pallas_sw.KY_ALL = default_kyall
+        pallas_sw.PSTORE = default_pstore
         # intermediate-plane storage A/B (pallas_fft STORE note):
         # '-bf16store' / '-f32store' suffix on any planes variant
         base = name
+        if "-kyall" in base:
+            pallas_sw.KY_ALL = "1"
+            base = base.replace("-kyall", "")
+        if "-pstore" in base:
+            pallas_sw.PSTORE = "bf16"
+            base = base.replace("-pstore", "")
         if base.endswith("-bf16store"):
             pallas_fft.STORE = "bf16"
             base = base[:-len("-bf16store")]

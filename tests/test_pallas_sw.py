@@ -372,3 +372,63 @@ def test_field_minor_orders_bit_identical(ka, ky, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(out0),
                     jax.tree_util.tree_leaves(out1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ky_all_bit_identical(monkeypatch):
+    """KY_ALL (all five products in one grid pass) is a pure scheduling
+    change — identical products, identical _kc_body math — so the
+    trajectory must be BIT-identical to the per-product grid path."""
+    from xlab_fftbarotropic_tpu.ops import pallas_fft
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg)
+    g = cfg.grid_shape
+    p = sw._state_to_planes(s)
+
+    def run():
+        q = p
+        for _ in range(2):
+            q = sw.rk4_step_planes(t, q, None, 1.0, float(cfg.f),
+                                   float(cfg.gravity), float(cfg.nu),
+                                   float(cfg.mean_depth), g)
+        return [np.asarray(x) for x in q]
+
+    monkeypatch.setattr(psw, "KY_ALL", "0")
+    ref = run()
+    monkeypatch.setattr(psw, "KY_ALL", "1")
+    got = run()
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+def test_pstore_bf16_bounded(monkeypatch):
+    """bf16 product-spectra storage: f32 mode bit-identical, bf16 a
+    bounded bf16-class drift (split-linear keeps the balance exact)."""
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg)
+    g = cfg.grid_shape
+    p = sw._state_to_planes(s)
+
+    def run():
+        q = p
+        for _ in range(2):
+            q = sw.rk4_step_planes(t, q, None, 1.0, float(cfg.f),
+                                   float(cfg.gravity), float(cfg.nu),
+                                   float(cfg.mean_depth), g)
+        return [np.asarray(x) for x in q]
+
+    monkeypatch.setattr(psw, "SPLIT_LINEAR", "1")
+    monkeypatch.setattr(psw, "PSTORE", "f32")
+    ref = run()
+    monkeypatch.setattr(psw, "PSTORE", "auto")
+    same = run()
+    for a, b in zip(ref, same):
+        assert np.array_equal(a, b)
+    monkeypatch.setattr(psw, "PSTORE", "bf16")
+    got = run()
+    for i in (0, 2, 4):
+        err = (np.linalg.norm(ref[i] - got[i])
+               / max(np.linalg.norm(ref[i]), 1e-30))
+        assert 1e-9 < err < 5e-2, (i, err)
+        assert np.isfinite(got[i]).all()

@@ -132,6 +132,35 @@ def split_linear() -> bool:
 KA_FMINOR = _os.environ.get("XFB_SW_KA_ORDER", "fminor") == "fminor"
 KY_FMINOR = _os.environ.get("XFB_SW_KY_ORDER", "fmajor") == "fminor"
 
+# KY_ALL: run ALL FIVE products + their real y r2c's in ONE grid pass
+# per column block — the 4 physical fields are fetched once per block
+# instead of once per (product, block), deleting the KY stage's 4x
+# re-read (~1.07 GB/stage at 4096², the largest single traffic item
+# left in the SW step). The trade is a 5x bigger serial kernel body
+# (the fminor/fusefull stall lesson) — hardware A/B decides.
+# XFB_SW_KYALL: auto (currently off) | 0 | 1.
+KY_ALL = _os.environ.get("XFB_SW_KYALL", "auto")
+
+# Product-spectra storage dtype: the KX_FWD outputs (pr, pi) are only
+# read by COMBINE (a pure elementwise, DMA-bound pass); storing them
+# bf16 cuts ~335 MB/stage of write+read at 4096² at bf16-class noise
+# on the nonlinear flux terms (the split-linear exact f0/gravity terms
+# read the f32 STATE and are unaffected). XFB_SW_PSTORE: auto
+# (currently f32) | f32 | bf16.
+PSTORE = _os.environ.get("XFB_SW_PSTORE", "auto")
+
+
+def ky_all_on() -> bool:
+    if KY_ALL == "auto":
+        return False
+    return KY_ALL not in ("", "0")
+
+
+def pstore_dtype():
+    if PSTORE in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
+
 
 def _fgrid(nf: int, nblocks: int, fminor: bool):
     """(grid, fmap) with fmap(raw grid args) -> (field, block)."""
@@ -348,6 +377,26 @@ def _ky_fwd_kernel(ny: int, f0: float, grav: float, split: bool,
     oi_ref[0] = yi.T.astype(oi_ref.dtype)
 
 
+def _ky_all_kernel(ny: int, f0: float, grav: float, split: bool,
+                   u_ref, v_ref, ze_ref, et_ref, ies_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   or_ref, oi_ref):
+    """All five products + real partial y r2c's in ONE body — the
+    fields are read once per block (KY_ALL note above)."""
+    u = _f32(u_ref[:])
+    v = _f32(v_ref[:])
+    eta = _f32(et_ref[:]) * ies_ref[0, 0]
+    q = _f32(ze_ref[:]) if split else _f32(ze_ref[:]) + f0
+    ke = 0.5 * (u * u + v * v)
+    phi = ke if split else grav * eta + ke
+    tabs = (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+            fbi_ref[:])
+    for i, prod in enumerate((q * u, q * v, eta * u, eta * v, phi)):
+        yr, yi = _kc_body(ny, prod, None, *tabs)
+        or_ref[i] = yr.T.astype(or_ref.dtype)
+        oi_ref[i] = yi.T.astype(oi_ref.dtype)
+
+
 def _kx_fwd_kernel(nx: int, xr_ref, xi_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
@@ -356,8 +405,8 @@ def _kx_fwd_kernel(nx: int, xr_ref, xi_ref,
                         fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
                         fbi_ref[:])
     # natural orientation — COMBINE reads (f, x, ky) directly
-    or_ref[0] = yr
-    oi_ref[0] = yi
+    or_ref[0] = yr.astype(or_ref.dtype)
+    oi_ref[0] = yi.astype(oi_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -403,8 +452,9 @@ def _combine_body(nu: float, H: float, has_src: bool,
     applies the exact linear terms the product kernels dropped
     (module note): the products are then QU=zeta*u etc. and PHI=KE."""
     # product spectra stacked (5, BLOCK, hny): QU QV EU EV PHI
-    qur, qvr, eur, evr, phr = (pr_ref[i] for i in range(5))
-    qui, qvi, eui, evi, phi_ = (pi_ref[i] for i in range(5))
+    # (upcast: they may arrive bf16 under XFB_SW_PSTORE)
+    qur, qvr, eur, evr, phr = (_f32(pr_ref[i]) for i in range(5))
+    qui, qvi, eui, evi, phi_ = (_f32(pi_ref[i]) for i in range(5))
     kx = kx_ref[:]                           # (BLOCK, 1)
     ky = ky_ref[:]                           # (1, hny)
     lap = lap_ref[:]
@@ -515,41 +565,66 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     if YFIRST:
         # --- KY_FWD: products + real-input partial y r2c (y-major in,
         # x-major half-spectrum out) ---
-        kygrid, kyfm = _fgrid(5, pl.cdiv(nx, BLOCK), KY_FMINOR)
-        y_in = pl.BlockSpec((ny, BLOCK), lambda a, b: (0, kyfm(a, b)[1]),
-                            memory_space=pltpu.VMEM)
-        ky_ies = pl.BlockSpec((1, 1), lambda a, b: (0, 0),
+        if ky_all_on():
+            y1 = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
-        ky_tabs = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
-                                memory_space=pltpu.VMEM) for t in kc_tabs]
-        ky_out = pl.BlockSpec(
-            (1, BLOCK, hny),
-            lambda a, b: (kyfm(a, b)[0], kyfm(a, b)[1], 0),
-            memory_space=pltpu.VMEM)
-        g1r, g1i = pl.pallas_call(
-            functools.partial(_ky_fwd_kernel, ny, float(f0), float(grav),
-                              split),
-            grid=kygrid,
-            in_specs=[y_in] * 4 + [ky_ies] + ky_tabs,
-            out_specs=(ky_out, ky_out),
-            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), st),
-                       jax.ShapeDtypeStruct((5, nx, hny), st)),
-            interpret=_interpret(),
-            compiler_params=_compiler_params(),
-        )(u, v, zeta, eta, ies, *kc_tabs)
+            ies1 = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+            tabs1 = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for t in kc_tabs]
+            out1 = pl.BlockSpec((5, BLOCK, hny), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+            g1r, g1i = pl.pallas_call(
+                functools.partial(_ky_all_kernel, ny, float(f0),
+                                  float(grav), split),
+                grid=(pl.cdiv(nx, BLOCK),),
+                in_specs=[y1] * 4 + [ies1] + tabs1,
+                out_specs=(out1, out1),
+                out_shape=(jax.ShapeDtypeStruct((5, nx, hny), st),
+                           jax.ShapeDtypeStruct((5, nx, hny), st)),
+                interpret=_interpret(),
+                compiler_params=_compiler_params(),
+            )(u, v, zeta, eta, ies, *kc_tabs)
+        else:
+            kygrid, kyfm = _fgrid(5, pl.cdiv(nx, BLOCK), KY_FMINOR)
+            y_in = pl.BlockSpec((ny, BLOCK),
+                                lambda a, b: (0, kyfm(a, b)[1]),
+                                memory_space=pltpu.VMEM)
+            ky_ies = pl.BlockSpec((1, 1), lambda a, b: (0, 0),
+                                  memory_space=pltpu.VMEM)
+            ky_tabs = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for t in kc_tabs]
+            ky_out = pl.BlockSpec(
+                (1, BLOCK, hny),
+                lambda a, b: (kyfm(a, b)[0], kyfm(a, b)[1], 0),
+                memory_space=pltpu.VMEM)
+            g1r, g1i = pl.pallas_call(
+                functools.partial(_ky_fwd_kernel, ny, float(f0),
+                                  float(grav), split),
+                grid=kygrid,
+                in_specs=[y_in] * 4 + [ky_ies] + ky_tabs,
+                out_specs=(ky_out, ky_out),
+                out_shape=(jax.ShapeDtypeStruct((5, nx, hny), st),
+                           jax.ShapeDtypeStruct((5, nx, hny), st)),
+                interpret=_interpret(),
+                compiler_params=_compiler_params(),
+            )(u, v, zeta, eta, ies, *kc_tabs)
 
         # --- KX_FWD: full x c2c over the hny ~ ny/2 columns only ---
         x_in = pl.BlockSpec((1, nx, BLOCK), lambda f, j: (f, 0, j),
                             memory_space=pltpu.VMEM)
         x_out = pl.BlockSpec((1, nx, BLOCK), lambda f, j: (f, 0, j),
                              memory_space=pltpu.VMEM)
+        psd = pstore_dtype()
         pr, pi = pl.pallas_call(
             functools.partial(_kx_fwd_kernel, nx),
             grid=(5, pl.cdiv(hny, BLOCK)),
             in_specs=[x_in, x_in] + ka_tab_spec,
             out_specs=(x_out, x_out),
-            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), jnp.float32),
-                       jax.ShapeDtypeStruct((5, nx, hny), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((5, nx, hny), psd),
+                       jax.ShapeDtypeStruct((5, nx, hny), psd)),
             interpret=_interpret(),
             compiler_params=_compiler_params(),
         )(g1r, g1i, *ka_tabs)
