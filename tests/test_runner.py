@@ -434,3 +434,64 @@ def test_step_banner_parity(tmp_path, capsys):
         if n % cfg.record_step == 0:
             expect += ", record now!"
         assert ln == expect, ln
+
+
+def test_record_fields_subset(tmp_path):
+    """--record-fields limits the record set (and the device→host gather
+    volume); 'vort_src' gates the forcing dump; unknown names raise."""
+    import pytest
+
+    cfg = make_cfg(tmp_path)
+    vort0 = makefields.gaussian(cfg)
+    run(cfg, vort0, manifest_path=str(tmp_path / "log"),
+        record_only=["vort", "psi"])
+    out = tmp_path / "output"
+    for step in (0, 5):
+        for name in ("vort", "psi"):
+            assert (out / f"{name}_step_{step}.bin").exists(), (name, step)
+        for name in ("u", "v", "vort_src_input"):
+            assert not (out / f"{name}_step_{step}.bin").exists(), (
+                name, step)
+    # recorded subset is identical to the full run's fields
+    full = tmp_path / "full"
+    cfg2 = make_cfg(tmp_path, output_dir=str(full))
+    run(cfg2, vort0, manifest_path=str(tmp_path / "log2"))
+    for name in ("vort", "psi"):
+        a = read_field(out / f"{name}_step_5.bin", cfg.grid_shape)
+        b = read_field(full / f"{name}_step_5.bin", cfg.grid_shape)
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="unknown field"):
+        run(make_cfg(tmp_path, output_dir=str(tmp_path / "o3")), vort0,
+            manifest_path=str(tmp_path / "log3"),
+            record_only=["vort", "nope"])
+
+
+def test_chunked_fetch_matches_asarray(monkeypatch):
+    """gather_to_host's chunked device→host path (XFB_FETCH_CHUNK_MB) is
+    bit-identical to a whole-buffer np.asarray for every dtype/shape it
+    sees (records, checkpoints, spectral states), including axis sizes
+    that do not divide the chunk row count."""
+    import jax.numpy as jnp
+
+    from xlab_fftbarotropic_tpu.parallel import multihost
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.standard_normal((37, 19)).astype(np.float32),
+        (rng.standard_normal((16, 9)) +
+         1j * rng.standard_normal((16, 9))).astype(np.complex64),
+        rng.standard_normal(51).astype(np.float32),
+        np.float32(3.5),                       # scalar passthrough
+    ]
+    # ~100-byte chunks force many hops on even these tiny arrays
+    monkeypatch.setenv("XFB_FETCH_CHUNK_MB", str(100 / (1024 * 1024)))
+    for a in cases:
+        got = multihost.gather_to_host(jnp.asarray(a))
+        np.testing.assert_array_equal(np.asarray(got), a)
+        assert got.dtype == a.dtype
+    # chunking disabled: plain asarray path
+    monkeypatch.setenv("XFB_FETCH_CHUNK_MB", "0")
+    a = cases[0]
+    np.testing.assert_array_equal(
+        multihost.gather_to_host(jnp.asarray(a)), a)

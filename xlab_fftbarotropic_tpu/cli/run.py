@@ -46,6 +46,12 @@ def main(argv=None):
                    help="checkpoint .npz to resume from")
     p.add_argument("--no-record", action="store_true",
                    help="skip field records (benchmarking)")
+    p.add_argument("--record-fields", default=None, metavar="NAMES",
+                   help="comma list of fields to record (subset of the "
+                        "model's record set, e.g. 'vort,psi'; include "
+                        "'vort_src' for the forcing dump). Default: all. "
+                        "Cuts record I/O volume — at 4096^2 one field is "
+                        "67 MB per record step")
     p.add_argument("--debug-fields", action="store_true",
                    help="also dump dvortdx/dvortdy/dvortdt at record steps "
                         "(the reference's OUTPUT_GRAD_VORT/OUTPUT_DVORTDT "
@@ -197,7 +203,11 @@ def main(argv=None):
                      ensemble_amp=args.ensemble_amp,
                      ensemble_seed=args.ensemble_seed,
                      ensemble_width=args.ensemble_width,
-                     step_banners=args.step_banners)
+                     step_banners=args.step_banners,
+                     record_only=(None if args.record_fields is None else
+                                  [s.strip() for s in
+                                   args.record_fields.split(",") if
+                                   s.strip()]))
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

@@ -21,6 +21,7 @@ XFB_MULTIHOST=1 to request that path.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Optional
 
@@ -89,13 +90,66 @@ def gather_to_host(x):
     zero overhead. Multi-process: an allgather collective — EVERY process
     must call this on the same array in the same order, so callers
     (runner adapters) invoke it unconditionally and gate only the file
-    writes on is_primary()."""
+    writes on is_primary().
+
+    Large buffers are fetched in row-block chunks (_chunked_fetch): some
+    remote-device transports (the axon TPU tunnel in this environment)
+    reject single device→host transfers above a size limit with
+    UNIMPLEMENTED, which would otherwise make record/checkpoint fetches
+    impossible at ≥2048² grids (one 4096² float32 field is 67 MB). The
+    chunk size rides XFB_FETCH_CHUNK_MB (0 disables chunking)."""
     import numpy as np
 
     if isinstance(x, np.ndarray):
         return x
     if getattr(x, "is_fully_addressable", True):
-        return np.asarray(x)
+        return _chunked_fetch(x)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _fetch_chunk_bytes() -> int:
+    # read per call so tests / probe scripts can flip it at runtime
+    mb = float(os.environ.get("XFB_FETCH_CHUNK_MB", "8"))
+    return int(mb * 1024 * 1024)
+
+
+def _chunked_fetch(x):
+    """np.asarray(x), transferring at most XFB_FETCH_CHUNK_MB per hop.
+
+    Chunks are equal-size dynamic slices along axis 0 taken by ONE jitted
+    program (the start index is a traced argument), so an N-chunk fetch
+    compiles once per (shape, chunk-rows) signature instead of per chunk;
+    the final chunk is aligned to the end of the axis (overlapping rows
+    are fetched twice rather than compiling a second ragged-slice
+    program). Semantically identical to np.asarray for every input."""
+    import numpy as np
+
+    limit = _fetch_chunk_bytes()
+    nbytes = getattr(x, "nbytes", 0)
+    if limit <= 0 or nbytes <= limit or getattr(x, "ndim", 0) < 1 \
+            or x.shape[0] <= 1:
+        return np.asarray(x)
+    import jax
+
+    n0 = x.shape[0]
+    rows = max(1, min(n0, limit // max(1, nbytes // n0)))
+    if rows >= n0:
+        return np.asarray(x)
+    fetch = _chunk_slicer(rows)
+    out = np.empty(x.shape, np.dtype(x.dtype))
+    i = 0
+    while i < n0:
+        j = min(i, n0 - rows)          # align the last chunk to the end
+        out[j:j + rows] = np.asarray(fetch(x, j))
+        i = j + rows
+    return out
+
+
+@_functools.lru_cache(maxsize=None)
+def _chunk_slicer(rows: int):
+    import jax
+
+    return jax.jit(
+        lambda a, i: jax.lax.dynamic_slice_in_dim(a, i, rows, axis=0))

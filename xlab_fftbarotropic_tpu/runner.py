@@ -43,6 +43,26 @@ class RunResult:
     stats_history: list
 
 
+def _gather_fields(fields: dict, only=None) -> dict:
+    """Gather the requested subset of record fields to host numpy.
+
+    only=None gathers everything (the reference's full record set);
+    only=iterable keeps just those names — with --record-fields the
+    device→host transfer (the dominant record cost on remote-tunnel
+    deployments; one 4096² field is 67 MB) shrinks to the fields the
+    downstream pipeline actually reads. Unknown names are an error so a
+    typo cannot silently drop a record stream."""
+    if only is not None:
+        want = set(only) - {"vort_src"}
+        unknown = want - set(fields)
+        if unknown:
+            raise ValueError(
+                f"--record-fields: unknown field(s) {sorted(unknown)}; "
+                f"this model records {sorted(fields)} (+ vort_src)")
+        fields = {k: v for k, v in fields.items() if k in want}
+    return {k: _np(v) for k, v in fields.items()}
+
+
 class _BarotropicAdapter:
     """Uniform facade the run loop drives: step/segment/diags/stats +
     state (de)hydration. Keeps the loop model-agnostic."""
@@ -62,10 +82,10 @@ class _BarotropicAdapter:
     def segment(self, state, src, n):
         return self.model.segment(state, src, n)
 
-    def record_fields(self, state):
+    def record_fields(self, state, only=None):
         d = self.model.diags(state)
-        return dict(vort=_np(d.vort), psi=_np(d.psi),
-                    u=_np(d.u), v=_np(d.v))
+        return _gather_fields(dict(vort=d.vort, psi=d.psi,
+                                   u=d.u, v=d.v), only)
 
     def debug_record_fields(self, state, src):
         """--debug-fields dumps (main.cpp OUTPUT_GRAD_VORT/OUTPUT_DVORTDT)."""
@@ -117,11 +137,10 @@ class _ShallowWaterAdapter:
     def segment(self, state, src, n):
         return self.model.segment(state, src, n)
 
-    def record_fields(self, state):
+    def record_fields(self, state, only=None):
         d = self.model.diags(state)
-        return dict(vort=_np(d.vort), psi=_np(d.psi),
-                    u=_np(d.u), v=_np(d.v),
-                    div=_np(d.div), h=_np(d.h))
+        return _gather_fields(dict(vort=d.vort, psi=d.psi, u=d.u, v=d.v,
+                                   div=d.div, h=d.h), only)
 
     def debug_record_fields(self, state, src):
         """--debug-fields dumps (main.cpp OUTPUT_GRAD_VORT/OUTPUT_DVORTDT)."""
@@ -179,10 +198,10 @@ class _TracerAdapter:
     def segment(self, state, src, n):
         return self.model.segment(state, src, n)
 
-    def record_fields(self, state):
+    def record_fields(self, state, only=None):
         d = self.model.diags(state)
-        return dict(vort=_np(d.vort), psi=_np(d.psi),
-                    u=_np(d.u), v=_np(d.v), q=_np(d.q))
+        return _gather_fields(dict(vort=d.vort, psi=d.psi,
+                                   u=d.u, v=d.v, q=d.q), only)
 
     def stats(self, state):
         if not hasattr(self.model, "stats"):   # sharded models: skip
@@ -241,9 +260,9 @@ class _EnsembleAdapter:
     def segment(self, state, src, n):
         return self.model.segment(state, src, n)
 
-    def record_fields(self, state):
+    def record_fields(self, state, only=None):
         d = self.model.diags(state)
-        batched = {name: _np(arr) for name, arr in d._asdict().items()}
+        batched = _gather_fields(d._asdict(), only)
         out = {}
         for k in range(self.model.n_members):
             for name in batched:
@@ -299,13 +318,12 @@ class _FDAdapter:
     def segment(self, state, src, n):
         return self.model.segment(state[0], state[1], src, n)
 
-    def record_fields(self, state):
+    def record_fields(self, state, only=None):
         from .models.fd_core import gradients, poisson_fft
         z, _ = state
         psi = poisson_fft(z, self.cfg.dx, self.cfg.dy)
         u, v = gradients(psi, self.cfg.dx, self.cfg.dy)
-        return dict(vort=_np(z), psi=_np(psi),
-                    u=_np(u), v=_np(v))
+        return _gather_fields(dict(vort=z, psi=psi, u=u, v=v), only)
 
     def stats(self, state):
         z = _np(state[0])
@@ -400,7 +418,8 @@ def run(cfg: ModelConfig,
         ensemble_amp: float = 0.05,
         ensemble_seed: int = 0,
         ensemble_width=None,
-        step_banners: bool = False) -> RunResult:
+        step_banners: bool = False,
+        record_only=None) -> RunResult:
     """Integrate cfg.total_steps of the chosen model family.
 
     vort0: physical initial vorticity; if None, read from
@@ -410,6 +429,8 @@ def run(cfg: ModelConfig,
     debug_fields: also dump dvortdx/dvortdy/dvortdt at record steps — the
     reference's OUTPUT_GRAD_VORT / OUTPUT_DVORTDT debug-output-as-test
     mechanism (main.cpp:156-176, 216-235), off by default like its #ifdefs.
+    record_only: iterable of field names to record (None = the model's
+    full set); unknown names raise. 'vort_src' gates the forcing dump.
 
     Multi-process discipline: field gathers (adapter.record_fields/pack via
     multihost.gather_to_host) are collectives run on EVERY process; the file
@@ -461,14 +482,16 @@ def run(cfg: ModelConfig,
     step = start_step
 
     def do_record(step, state, src_np, src):
-        fields = adapter.record_fields(state)      # collective gather
+        fields = adapter.record_fields(state, only=record_only)  # gather
         if check_finite:
             from .utils.guards import check_finite as _cf
             _cf(step, **fields)
         dbg = (adapter.debug_record_fields(state, src)
                if debug_fields else {})            # collective gather
         if recorder is not None:
-            recorder.record(step, vort_src=src_np, **fields)
+            want_src = record_only is None or "vort_src" in record_only
+            recorder.record(step, vort_src=src_np if want_src else None,
+                            **fields)
             if dbg:
                 recorder.record(step, **dbg)
 
