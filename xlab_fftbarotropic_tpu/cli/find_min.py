@@ -22,6 +22,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="xfb-find-min")
     p.add_argument("-n", "--num", type=int, default=30,
                    help="number of minima (reference default 30)")
+    p.add_argument("--tracks", default=None, metavar="FILE",
+                   help="also associate each file's minima into vortex "
+                        "tracks (periodic nearest-neighbor across files, "
+                        "diagnostics/tracks.py) and write 'track_id step "
+                        "x y value' lines to FILE; the step index is "
+                        "parsed from '*_step_N.bin' filenames")
+    p.add_argument("--cluster-radius", type=float, default=8.0,
+                   help="grid-cell radius treated as one vortex well "
+                        "when clustering a file's minima (--tracks)")
+    p.add_argument("--max-jump", type=float, default=64.0,
+                   help="largest per-file core displacement (grid "
+                        "cells, periodic) still the same track "
+                        "(--tracks)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     add_config_args(p)
     args = p.parse_args(argv)
@@ -30,6 +43,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     cfg = config_from_args(args)
 
+    import re
+
+    records = []
     print("Entering find_min program.", file=sys.stderr)
     for raw in sys.stdin:
         fname = raw.strip()
@@ -39,6 +55,20 @@ def main(argv=None):
         print(f"File {fname} read.", file=sys.stderr)
         x, y, vals = find_min_n(data, args.num)
         print(format_minima(x, y, vals))
+        if args.tracks is not None:
+            m = re.search(r"_step_(\d+)\b", fname)
+            step = int(m.group(1)) if m else len(records)
+            records.append((step, x, y, vals))
+    if args.tracks is not None:
+        from ..diagnostics.tracks import build_tracks, format_tracks
+        records.sort(key=lambda r: r[0])
+        tracks = build_tracks(records, cfg.nx, cfg.ny,
+                              cluster_radius=args.cluster_radius,
+                              max_jump=args.max_jump)
+        with open(args.tracks, "w") as f:
+            f.write(format_tracks(tracks) + "\n")
+        print(f"Wrote {len(tracks)} track(s) to {args.tracks}.",
+              file=sys.stderr)
     print("find_min program ends. Congrats!", file=sys.stderr)
     return 0
 
