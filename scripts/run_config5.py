@@ -85,6 +85,7 @@ def main():
     rec_steps = list(range(0, args.steps, args.record_step))
     t_inv = t_fetch = 0.0
     lines = []
+    track_records = []
     for step in rec_steps:
         psi = read_field(f"{wd}/output/psi_step_{step}.bin", cfg.grid_shape)
         t0 = time.perf_counter()
@@ -96,8 +97,18 @@ def main():
         t_fetch += time.perf_counter() - t0
         write_field(f"{wd}/output/pres_step_{step}.bin", pres_np)
         lines.append(format_minima(x, y, vals))
+        track_records.append((step, np.asarray(x), np.asarray(y),
+                              np.asarray(vals)))
     with open(f"{wd}/output/pres_timeseries.txt", "w") as f:
         f.write("\n".join(lines) + "\n")
+
+    # vortex-core tracks across the record steps (the identity layer the
+    # reference's pres_timeseries.txt lacks; diagnostics/tracks.py)
+    from xlab_fftbarotropic_tpu.diagnostics.tracks import (build_tracks,
+                                                           format_tracks)
+    tracks = build_tracks(track_records, cfg.nx, cfg.ny)
+    with open(f"{wd}/output/tracks.txt", "w") as f:
+        f.write(format_tracks(tracks) + "\n")
 
     deepest = min(float(t.split()[2])
                   for ln in lines for t in ln.splitlines())
@@ -111,6 +122,9 @@ def main():
         "invert_pres_s_per_field": round(t_inv / len(rec_steps), 2),
         "pres_fetch_s_per_field": round(t_fetch / len(rec_steps), 2),
         "deepest_pres_anomaly": deepest,
+        "n_tracks": len(tracks),
+        "longest_track_steps": max((len(t.steps) for t in tracks),
+                                   default=0),
         "stats_last": res.stats_history[-1] if res.stats_history else None,
     }), flush=True)
 

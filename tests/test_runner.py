@@ -495,3 +495,42 @@ def test_chunked_fetch_matches_asarray(monkeypatch):
     a = cases[0]
     np.testing.assert_array_equal(
         multihost.gather_to_host(jnp.asarray(a)), a)
+
+
+def test_chunked_fetch_oversized_rows_flatten(monkeypatch):
+    """Arrays whose axis-0 rows exceed the chunk limit — batched record
+    fields like (n_members, nx, ny) — and singleton-leading-axis arrays
+    must still be fetched in under-limit pieces via the flattened 1-D
+    view (round-3 ADVICE medium), not in one whole-row transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlab_fftbarotropic_tpu.parallel import multihost
+
+    rng = np.random.default_rng(1)
+    cases = [
+        rng.standard_normal((3, 64, 64)).astype(np.float32),   # 16 KB rows
+        rng.standard_normal((1, 97, 33)).astype(np.float32),   # M == 1
+        (rng.standard_normal((2, 40, 21)) +
+         1j * rng.standard_normal((2, 40, 21))).astype(np.complex64),
+    ]
+    monkeypatch.setenv("XFB_FETCH_CHUNK_MB", str(1000 / (1024 * 1024)))
+    limit = multihost._fetch_chunk_bytes()
+    for a in cases:
+        assert a.nbytes // a.shape[0] > limit   # rows genuinely oversized
+        got = multihost.gather_to_host(jnp.asarray(a))
+        np.testing.assert_array_equal(np.asarray(got), a)
+        assert got.dtype == a.dtype and got.shape == a.shape
+
+
+def test_cli_empty_record_fields_rejected(tmp_path):
+    """--record-fields with an empty/whitespace value must error (argparse
+    exit 2), not silently record nothing (round-3 ADVICE)."""
+    import pytest
+
+    from xlab_fftbarotropic_tpu.cli import run as cli_run
+
+    with pytest.raises(SystemExit) as ei:
+        cli_run.main(["-O", str(tmp_path / "out"), "--cpu",
+                      "--record-fields", " , "])
+    assert ei.value.code == 2

@@ -116,3 +116,44 @@ def test_cli_tracks_end_to_end(tmp_path, capsys, monkeypatch):
     drift = [r for r in rows if int(r[2]) in (4, 5, 6)]
     assert [int(r[1]) for r in drift] == [0, 5, 10]
     assert [int(r[2]) for r in drift] == [4, 5, 6]
+
+
+def test_cli_tracks_mixed_step_names_error(tmp_path, capsys, monkeypatch):
+    """--tracks refuses a mix of parsed '_step_N' names and unparsable
+    ones: positional fallback indices could collide with or interleave
+    the real step numbers and silently corrupt track ordering (round-3
+    ADVICE). All-unparsable input still works (stdin order = time axis)."""
+    import io
+
+    from xlab_fftbarotropic_tpu.cli import find_min as cli
+    from xlab_fftbarotropic_tpu.io.fieldio import write_field
+
+    nx = ny = 16
+    f = np.zeros((nx, ny), np.float32)
+    f[3, 3] = -5.0
+    good = tmp_path / "pres_step_0.bin"
+    bad = tmp_path / "pres_final.bin"
+    for p in (good, bad):
+        write_field(p, f)
+
+    out = tmp_path / "tracks.txt"
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(f"{good}\n{bad}\n"))
+    rc = cli.main(["--nx", str(nx), "--ny", str(ny), "--cpu",
+                   "-n", "1", "--tracks", str(out)])
+    assert rc == 2
+    assert not out.exists()
+    assert "did not parse" in capsys.readouterr().err
+
+    # all-unparsable: accepted, stdin order defines steps 0..K-1
+    bad2 = tmp_path / "pres_later.bin"
+    f2 = np.zeros((nx, ny), np.float32)
+    f2[4, 3] = -5.0
+    write_field(bad2, f2)
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(f"{bad}\n{bad2}\n"))
+    rc = cli.main(["--nx", str(nx), "--ny", str(ny), "--cpu",
+                   "-n", "1", "--tracks", str(out), "--max-jump", "4"])
+    assert rc == 0
+    rows = [ln.split() for ln in out.read_text().splitlines()]
+    assert [int(r[1]) for r in rows] == [0, 1]

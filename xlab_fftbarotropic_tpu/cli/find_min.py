@@ -57,10 +57,25 @@ def main(argv=None):
         print(format_minima(x, y, vals))
         if args.tracks is not None:
             m = re.search(r"_step_(\d+)\b", fname)
-            step = int(m.group(1)) if m else len(records)
+            step = int(m.group(1)) if m else None
             records.append((step, x, y, vals))
     if args.tracks is not None:
         from ..diagnostics.tracks import build_tracks, format_tracks
+        # Step indices come from the '_step_N' filename convention
+        # (SURVEY §5.9 output contract). Mixing parsed steps with
+        # positional fallbacks silently corrupts track ordering (the
+        # synthetic indices can interleave real ones — round-3 ADVICE),
+        # so the fallback applies only when NO filename parses.
+        n_parsed = sum(1 for r in records if r[0] is not None)
+        if 0 < n_parsed < len(records):
+            bad = [i for i, r in enumerate(records) if r[0] is None]
+            print(f"find_min: --tracks needs a '_step_N' step index in "
+                  f"every filename or in none; {len(bad)} of "
+                  f"{len(records)} record(s) did not parse.",
+                  file=sys.stderr)
+            return 2
+        if n_parsed == 0:       # stdin order defines the time axis
+            records = [(i,) + r[1:] for i, r in enumerate(records)]
         records.sort(key=lambda r: r[0])
         tracks = build_tracks(records, cfg.nx, cfg.ny,
                               cluster_radius=args.cluster_radius,

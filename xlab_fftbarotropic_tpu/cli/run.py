@@ -121,6 +121,17 @@ def main(argv=None):
                         "single-process)")
     args = p.parse_args(argv)
 
+    record_only = None
+    if args.record_fields is not None:
+        record_only = [s.strip() for s in args.record_fields.split(",")
+                       if s.strip()]
+        if not record_only:
+            # an empty list would silently record NOTHING (including
+            # vort_src) — the typo class _gather_fields guards against
+            p.error("--record-fields got an empty list; name at least "
+                    "one field (e.g. vort,psi) or omit the flag to "
+                    "record everything")
+
     if args.fast_transforms:
         import os
         os.environ["XFB_PALLAS_MM"] = "default"
@@ -204,10 +215,7 @@ def main(argv=None):
                      ensemble_seed=args.ensemble_seed,
                      ensemble_width=args.ensemble_width,
                      step_banners=args.step_banners,
-                     record_only=(None if args.record_fields is None else
-                                  [s.strip() for s in
-                                   args.record_fields.split(",") if
-                                   s.strip()]))
+                     record_only=record_only)
     sps = result.steps_run / max(result.wall_time, 1e-9)
     gpps = sps * cfg.grids
     print(f"Ran {result.steps_run} steps in {result.wall_time:.2f}s "

@@ -16,11 +16,14 @@ Design notes:
     models/barotropic.py etc. — SURVEY.md §5 contract); member 0 of an
     `amplitude=0` ensemble is bit-comparable to a solo run of the same
     backend (pinned in tests/test_ensemble.py).
-  * The ensemble always uses the XLA FFT path when cfg.fft_backend is
-    'auto': batching is what restores utilization at the small grids where
-    the fused Pallas plane stepper loses to XLA anyway, while at 4096^2 a
-    single member already saturates the chip (run members sequentially
-    there). An explicit non-auto backend is honored as given.
+  * Backend resolution for 'auto' is chunk-width-aware
+    (_resolve_member_backend): batched (width > 1) chunks pin XLA —
+    vmap batching restores utilization exactly at the small grids where
+    the fused Pallas plane stepper loses to XLA — while width-1 chunks
+    (the measured optimum from 768² up) run the true solo program and so
+    inherit the solo 'auto' crossover, keeping the plane stepper's
+    measured 2-4x win at large grids. An explicit non-auto backend is
+    honored as given.
   * Forcing is SHARED across members (one source field per step, matching
     the reference's one-FIFO-stream protocol, SURVEY.md §3.2).
   * IC spread comes from `perturb_vorticity`: band-limited spectral noise,
@@ -81,11 +84,35 @@ def perturb_vorticity(cfg: ModelConfig, vort0, n_members: int,
     return _make(vort0)
 
 
-def _member_model(cfg: ModelConfig, model_kind: str, tracer_kappa: float):
-    """Build the inner single-member model on the batched-transform-friendly
-    backend resolution (see module docstring)."""
-    if cfg.fft_backend == "auto":
-        cfg = dataclasses.replace(cfg, fft_backend="xla")
+def _resolve_member_backend(cfg: ModelConfig, vmap_width: int) -> ModelConfig:
+    """Resolve 'auto' per (grid, chunk width, matmul mode).
+
+    Batched (width > 1) members pin XLA: vmap-batched FFTs are what
+    restores utilization at the small grids where the Pallas plane
+    stepper loses to XLA anyway (round-2 sweep, BASELINE.md). But
+    width-1 chunks run the TRUE solo program member-by-member, so the
+    solo crossover applies unchanged — at or above the pallas floor
+    (1024² fast mode / 4096² fp32, resolve_fft_backend_name) each
+    member should get the plane stepper's measured 2-4x win instead of
+    forfeiting it (round-3 VERDICT weakness 1). Leaving the backend at
+    'auto' defers to the family build's standard resolution, so the
+    gate stays consistent with solo runs by construction.
+    """
+    if cfg.fft_backend != "auto":
+        return cfg
+    from .barotropic import resolve_fft_backend_name
+    if (vmap_width == 1
+            and resolve_fft_backend_name("auto", cfg.grid_shape)
+            == "pallas"):
+        return cfg
+    return dataclasses.replace(cfg, fft_backend="xla")
+
+
+def _member_model(cfg: ModelConfig, model_kind: str, tracer_kappa: float,
+                  vmap_width: int):
+    """Build the inner single-member model on the chunk-width-aware
+    backend resolution (see _resolve_member_backend)."""
+    cfg = _resolve_member_backend(cfg, vmap_width)
     if model_kind in ("barotropic", "bt"):
         from .barotropic import BarotropicModel
         return BarotropicModel.build(cfg), cfg
@@ -150,13 +177,16 @@ class EnsembleModel:
               model_kind: str = "barotropic",
               tracer_kappa: float = 0.0,
               vmap_width: Optional[int] = None) -> "EnsembleModel":
-        inner, cfg_x = _member_model(cfg, model_kind, tracer_kappa)
         m = int(n_members)
-        width = (auto_vmap_width(cfg_x, m) if vmap_width is None
+        # width first: the backend gate depends on it (width-1 chunks
+        # at >= the pallas floor keep the plane stepper; see
+        # _resolve_member_backend). auto_vmap_width only reads the grid.
+        width = (auto_vmap_width(cfg, m) if vmap_width is None
                  else vmap_width)
         if width < 1 or m % width:
             raise ValueError(f"vmap_width {width} must divide "
                              f"n_members {m}")
+        inner, cfg_x = _member_model(cfg, model_kind, tracer_kappa, width)
 
         def _chunked(member_fn):
             """Apply a single-member state->state fn across the batch.

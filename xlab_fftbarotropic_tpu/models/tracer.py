@@ -25,8 +25,9 @@ On TPU at the plane-stepper sizes the family runs the fully fused
 Pallas plane-state pipeline (ops/pallas_tracer.py: KA6 grid x-stage,
 KB pairs, fused (u,v)+both-products+two-r2c KB_ADV, stacked KX+VISC
 tail with the per-field diffusion table fold) via fft_backend='auto',
-like the barotropic and SW families. The sharded variants remain
-barotropic/SW-only.
+like the barotropic and SW families. A sharded multi-chip variant
+exists too (parallel.ShardedTracerModel, slab decomposition; exercised
+by the driver gate in __graft_entry__.py).
 """
 
 from __future__ import annotations

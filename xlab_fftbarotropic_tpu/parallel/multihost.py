@@ -97,7 +97,11 @@ def gather_to_host(x):
     reject single device→host transfers above a size limit with
     UNIMPLEMENTED, which would otherwise make record/checkpoint fetches
     impossible at ≥2048² grids (one 4096² float32 field is 67 MB). The
-    chunk size rides XFB_FETCH_CHUNK_MB (0 disables chunking)."""
+    chunk size rides XFB_FETCH_CHUNK_MB (0 disables chunking). Scope:
+    chunking applies to the fully-addressable (single-process) path; the
+    multi-process process_allgather branch transfers whole buffers — the
+    tunnel quirk it guards against has only been observed (and is only
+    mitigated) single-process."""
     import numpy as np
 
     if isinstance(x, np.ndarray):
@@ -128,13 +132,27 @@ def _chunked_fetch(x):
 
     limit = _fetch_chunk_bytes()
     nbytes = getattr(x, "nbytes", 0)
-    if limit <= 0 or nbytes <= limit or getattr(x, "ndim", 0) < 1 \
-            or x.shape[0] <= 1:
+    if limit <= 0 or nbytes <= limit or getattr(x, "ndim", 0) < 1:
         return np.asarray(x)
-    import jax
 
     n0 = x.shape[0]
-    rows = max(1, min(n0, limit // max(1, nbytes // n0)))
+    # Axis-0 row blocks only keep transfers under the limit when a row
+    # itself fits; batched record fields like (M, 4096, 4096) have 67 MB
+    # "rows" and a singleton leading axis bypassed chunking entirely —
+    # exactly the oversized transfer this path exists to avoid (round-3
+    # ADVICE). Chunk a flattened 1-D view instead: the device reshape is
+    # free (row-major contiguous both sides) and the flat fetch re-enters
+    # the row-block path with itemsize-granular chunks.
+    per_row = nbytes // max(1, n0)
+    if getattr(x, "ndim", 0) >= 2 and (n0 <= 1 or per_row > limit):
+        import jax.numpy as jnp
+
+        flat = _chunked_fetch(jnp.reshape(x, (-1,)))
+        return flat.reshape(x.shape)
+    if n0 <= 1:
+        return np.asarray(x)
+
+    rows = max(1, min(n0, limit // max(1, per_row)))
     if rows >= n0:
         return np.asarray(x)
     fetch = _chunk_slicer(rows)
