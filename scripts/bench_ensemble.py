@@ -48,10 +48,18 @@ def main():
 
     base = {}
     for combo in args.combos:
-        parts = [int(v) for v in combo.lower().split("x")]
+        # NXxM[xW][:backend] — W chunks the vmap; backend defaults to
+        # xla (the round-2 sweep's configuration). ':auto' exercises the
+        # width-aware gate (models/ensemble._resolve_member_backend):
+        # width-1 chunks at >= the pallas floor run the plane stepper.
+        spec = combo.lower()
+        backend = "xla"
+        if ":" in spec:
+            spec, backend = spec.split(":", 1)
+        parts = [int(v) for v in spec.split("x")]
         nx, m = parts[0], parts[1]
         width = parts[2] if len(parts) > 2 else m  # NXxMxW = chunked
-        cfg = ModelConfig(nx=nx, ny=nx, fft_backend="xla")
+        cfg = ModelConfig(nx=nx, ny=nx, fft_backend=backend)
         vort0 = makefields.gaussian(cfg)
         src = jnp.zeros(cfg.grid_shape, jnp.float32)
         if m == 1:
@@ -72,13 +80,14 @@ def main():
         dt = time.perf_counter() - t0
         assert ct == cw, "nondeterministic segment"
         agg = nx * nx * m * args.steps / dt
-        rec = {"nx": nx, "members": m, "width": width, "steps": args.steps,
+        rec = {"nx": nx, "members": m, "width": width,
+               "backend": backend, "steps": args.steps,
                "ms_per_step": round(dt / args.steps * 1e3, 3),
                "agg_gp_per_s": round(agg, 0)}
-        if (nx, 1) in base:
-            rec["agg_speedup_vs_m1"] = round(agg / base[(nx, 1)], 2)
+        if (nx, backend) in base:
+            rec["agg_speedup_vs_m1"] = round(agg / base[(nx, backend)], 2)
         if m == 1:
-            base[(nx, 1)] = agg
+            base[(nx, backend)] = agg
         print(json.dumps(rec))
         sys.stdout.flush()
 

@@ -42,3 +42,62 @@ def cfg128():
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+# --------------------------------------------------------------------------
+# Fast/slow test tiers (round-3 VERDICT item 4): the interpret-mode
+# Pallas/overlap soaks below cost 10-140 s EACH on the CPU mesh (~16 of
+# the suite's ~23 minutes), which made the default gate too expensive to
+# run habitually. Default `pytest -q` skips them (<5-8 min); the FULL
+# suite — the pre-commit/driver-parity gate — is `pytest --slow`. The
+# skipped tests are all redundant-at-smoke-level: every kernel they soak
+# also has a fast differential test; what they add is long-horizon /
+# cross-impl coverage that must stay green before a commit that touches
+# ops/ or parallel/.
+# --------------------------------------------------------------------------
+
+_SLOW_NODEID_PATTERNS = (
+    "test_xpencil.py::test_xpencil_sw_segment_matches_single[overlap]",
+    "test_xpencil.py::test_xpencil_barotropic_segment_matches_single",
+    "test_pallas_overlap.py::test_sharded_model_with_overlap_fft",
+    "test_pallas_store.py::",                  # whole-file kernel soaks
+    "test_pallas_sw.py::test_pstore_bf16_bounded",
+    "test_pallas_sw.py::test_ky_all_bit_identical",
+    "test_pallas_sw.py::test_split_linear_matches_default",
+    "test_pallas_sw.py::test_field_minor_orders_bit_identical",
+    "test_pallas_sw.py::test_yfirst_matches_xfirst",
+    "test_pallas_sw.py::test_forced_step_matches_xla",
+    "test_pallas_sw.py::test_model_segment_trajectory_pin",
+    "test_pallas_sw.py::test_rk4_step_planes_matches_rk4_step",
+    "test_pallas_sw.py::test_bf16_transforms_corrupt_sw_balance",
+    "test_pallas_tracer.py::test_tracer_planes_match_xla",
+    "test_pallas_tracer.py::test_tracer_planes_forced_drag_beta_nu4",
+    "test_pallas_diff.py::test_rollout_gradient_pallas_vs_xla",
+    "test_pallas_fft.py::test_mm_bf16x3_shallow_water",
+    "test_pallas_fft.py::test_mm_bf16x3_trajectory_accuracy",
+    "test_pallas_fft.py::test_bt_yfirst_matches_xfirst",
+    "test_pallas_fft.py::test_fusekb_bit_identical",
+    "test_pallas_overlap.py::test_overlapped_pair_matches_dfft",
+    "test_adjoint.py::test_segmented_rollout_matches_unsegmented",
+    "test_adjoint.py::test_sharded_gradient_matches_single_device",
+    "test_adjoint.py::test_assimilate_cli_end_to_end",
+    "test_adjoint.py::test_sw_and_tracer_grads_finite",
+    "test_beta.py::test_adjoint_rollout_carries_beta",
+)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run the FULL suite including the slow interpret-mode "
+             "Pallas/overlap/adjoint soaks (the pre-commit gate)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier — run `pytest --slow` for the full gate")
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_NODEID_PATTERNS):
+            item.add_marker(skip)

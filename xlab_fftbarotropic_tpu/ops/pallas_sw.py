@@ -136,27 +136,44 @@ KY_FMINOR = _os.environ.get("XFB_SW_KY_ORDER", "fmajor") == "fminor"
 # per column block — the 4 physical fields are fetched once per block
 # instead of once per (product, block), deleting the KY stage's 4x
 # re-read (~1.07 GB/stage at 4096², the largest single traffic item
-# left in the SW step). The trade is a 5x bigger serial kernel body
-# (the fminor/fusefull stall lesson) — hardware A/B decides.
-# XFB_SW_KYALL: auto (currently off) | 0 | 1.
+# left in the SW step). The trade is a 5x bigger serial kernel body.
+# Hardware A/B (2026-08-20, fast mode, bench_sw_ab.py): 2048²
+# 11.06 -> 10.20 ms/step (1.084x, outputs BIT-IDENTICAL — pure
+# iteration-order change), ADOPTED there; at 4096² the 5x body
+# OOM-SIGKILLs the remote AOT compile helper (same host-RAM ceiling as
+# 8192²/BLOCK=256/bf16x3 — BASELINE.md), so auto gates on
+# max(nx, ny) <= KYALL_MAX (default 2048). XFB_SW_KYALL: auto | 0 | 1.
 KY_ALL = _os.environ.get("XFB_SW_KYALL", "auto")
+KYALL_MAX = int(_os.environ.get("XFB_SW_KYALL_MAX", "2048"))
 
 # Product-spectra storage dtype: the KX_FWD outputs (pr, pi) are only
 # read by COMBINE (a pure elementwise, DMA-bound pass); storing them
 # bf16 cuts ~335 MB/stage of write+read at 4096² at bf16-class noise
 # on the nonlinear flux terms (the split-linear exact f0/gravity terms
-# read the f32 STATE and are unaffected). XFB_SW_PSTORE: auto
-# (currently f32) | f32 | bf16.
+# read the f32 STATE and are unaffected). Hardware A/B (2026-08-20,
+# fast mode): 4096² 41.04 -> 40.02 ms/step (1.025x, max|zeta_hat|
+# checksum identical); 2048² 11.06 -> 10.70 (1.034x, eta rel-L2
+# 4.4389e-4 vs 4.4384e-4 — noise at the fast-mode accuracy class).
+# auto = bf16 exactly when the kernel matmuls are already lossy (fast
+# mode, same rule as split_linear); fp32-HIGHEST keeps f32 stores (the
+# <1e-6 parity contract). XFB_SW_PSTORE: auto | f32 | bf16.
 PSTORE = _os.environ.get("XFB_SW_PSTORE", "auto")
 
 
-def ky_all_on() -> bool:
+def ky_all_on(grid_shape=None) -> bool:
+    """Resolve KY_ALL at trace time; grid-gated in auto (see note)."""
     if KY_ALL == "auto":
-        return False
+        if grid_shape is None:
+            return False
+        return max(grid_shape) <= KYALL_MAX
     return KY_ALL not in ("", "0")
 
 
 def pstore_dtype():
+    if PSTORE == "auto":
+        from . import pallas_fft
+        return (jnp.bfloat16 if pallas_fft.MM_MODE in ("bf16", "default")
+                else jnp.float32)
     if PSTORE in ("bf16", "bfloat16"):
         return jnp.bfloat16
     return jnp.float32
@@ -565,7 +582,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     if YFIRST:
         # --- KY_FWD: products + real-input partial y r2c (y-major in,
         # x-major half-spectrum out) ---
-        if ky_all_on():
+        if ky_all_on((nx, ny)):
             y1 = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
             ies1 = pl.BlockSpec((1, 1), lambda i: (0, 0),
