@@ -157,3 +157,44 @@ def test_cli_tracks_mixed_step_names_error(tmp_path, capsys, monkeypatch):
     assert rc == 0
     rows = [ln.split() for ln in out.read_text().splitlines()]
     assert [int(r[1]) for r in rows] == [0, 1]
+
+
+def test_hungarian_matches_bruteforce():
+    """_hungarian against brute-force minimum over all permutations for
+    random small cost matrices."""
+    import itertools
+
+    from xlab_fftbarotropic_tpu.diagnostics.tracks import _hungarian
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 4, 5, 6):
+        for _ in range(20):
+            c = rng.uniform(0, 10, (n, n))
+            assign = _hungarian(c)
+            assert sorted(assign) == list(range(n))
+            got = sum(c[i, assign[i]] for i in range(n))
+            best = min(sum(c[i, p[i]] for i in range(n))
+                       for p in itertools.permutations(range(n)))
+            assert abs(got - best) < 1e-9, (n, got, best)
+
+
+def test_crowded_matching_keeps_both_tracks():
+    """A case the greedy sorted-distance matcher gets wrong: heads at
+    x=0 and x=6, new cores at x=5 and x=8 with max_jump=5. Greedy pairs
+    (6->5) first and strands (0->8) out of range, killing one track and
+    birthing a spurious one; the optimal assignment keeps both alive
+    via (0->5, 6->8)."""
+    from xlab_fftbarotropic_tpu.diagnostics.tracks import build_tracks
+
+    nx = ny = 64
+    records = [
+        (0, [0, 6], [0, 0], [-10.0, -9.0]),
+        (1, [5, 8], [0, 0], [-10.0, -9.0]),
+    ]
+    tracks = build_tracks(records, nx, ny, cluster_radius=1.0,
+                          max_jump=5.0)
+    assert len(tracks) == 2
+    assert all(len(t.steps) == 2 for t in tracks)
+    by_start = {t.x[0]: t for t in tracks}
+    assert by_start[0].x == [0, 5]
+    assert by_start[6].x == [6, 8]

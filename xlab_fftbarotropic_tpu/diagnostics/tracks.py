@@ -71,6 +71,97 @@ class Track:
         return self.x[-1], self.y[-1]
 
 
+def _hungarian(cost: np.ndarray) -> np.ndarray:
+    """Minimum-cost perfect matching on a square cost matrix; returns
+    the column assigned to each row.
+
+    O(n^3) shortest-augmenting-path algorithm with row/column
+    potentials (Jonker-Volgenant style), dependency-free — scipy is not
+    in this environment and n is O(30 + 30), so the cost is negligible
+    next to the device top-k that produced the minima."""
+    n = cost.shape[0]
+    INF = float("inf")
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=int)      # p[j]: row matched to col j (1-based)
+    way = np.zeros(n + 1, dtype=int)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = 0
+            for j in range(1, n + 1):
+                if used[j]:
+                    continue
+                cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    ans = np.zeros(n, dtype=int)
+    for j in range(1, n + 1):
+        ans[p[j] - 1] = j - 1
+    return ans
+
+
+def _match_heads(live: List[Track], cores, nx: int, ny: int,
+                 max_jump: float) -> List[Tuple[int, int]]:
+    """Optimal (minimum total squared displacement) assignment of live
+    track heads to the new step's cores; pairs farther than max_jump
+    are never matched. Returns [(track_idx, core_idx), ...].
+
+    Padded-square formulation: every track also gets a private "die"
+    column and every core a private "birth" row, each at cost SKIP just
+    above max_jump^2, with the dummy-dummy block free — so any in-range
+    pairing beats skipping, and among feasible pairings the matching
+    maximizes matched pairs first and minimizes total displacement
+    second. This is the optimal-assignment upgrade of the earlier
+    greedy sorted-distance heuristic, which could strand a matchable
+    (head, core) pair in crowded fields (several cores within max_jump
+    of several heads) and mis-associate identities."""
+    nt, nc = len(live), len(cores)
+    skip = max_jump * max_jump + 1.0
+    n = nt + nc
+    big = 4.0 * (n + 1) * (skip + 1.0)
+    cost = np.zeros((n, n))
+    cost[:nt, :] = big
+    cost[:, :nc] = big
+    cost[nt:, nc:] = 0.0
+    for i, t in enumerate(live):
+        hx, hy = t.last()
+        cost[i, nc + i] = skip           # track i dies
+        for j, (cx, cy, _) in enumerate(cores):
+            dx = periodic_delta(cx, hx, nx)
+            dy = periodic_delta(cy, hy, ny)
+            d2 = float(dx * dx + dy * dy)
+            if d2 <= max_jump * max_jump:
+                cost[i, j] = d2
+    for j in range(nc):
+        cost[nt + j, j] = skip           # core j starts a new track
+    assign = _hungarian(cost)
+    return [(i, int(assign[i])) for i in range(nt) if assign[i] < nc]
+
+
 def build_tracks(records: Sequence[Tuple[int, Sequence, Sequence, Sequence]],
                  nx: int, ny: int, cluster_radius: float = 8.0,
                  max_jump: float = 64.0) -> List[Track]:
@@ -83,9 +174,11 @@ def build_tracks(records: Sequence[Tuple[int, Sequence, Sequence, Sequence]],
     (grid cells, periodic) still treated as the same vortex; cores
     farther than this from every live track start a new track.
 
-    Greedy globally-nearest matching between the live track heads and
-    the new step's cores (each pair used at most once), so a deep new
-    core cannot steal a closer track from a shallow one."""
+    Head-to-core association is an optimal assignment (see
+    _match_heads): most matched pairs first, minimum total squared
+    displacement second, so a deep new core cannot steal a closer track
+    from a shallow one and crowded vortex-merger scenes keep their
+    identities where any consistent labeling exists."""
     tracks: List[Track] = []
     live: List[Track] = []
     for step, xs, ys, vs in records:
@@ -96,23 +189,10 @@ def build_tracks(records: Sequence[Tuple[int, Sequence, Sequence, Sequence]],
                 tracks.append(t)
                 live.append(t)
             continue
-        # distance matrix live-heads x cores (periodic)
-        pairs = []
-        for i, t in enumerate(live):
-            hx, hy = t.last()
-            for j, (cx, cy, _) in enumerate(cores):
-                dx = periodic_delta(cx, hx, nx)
-                dy = periodic_delta(cy, hy, ny)
-                d2 = float(dx * dx + dy * dy)
-                if d2 <= max_jump * max_jump:
-                    pairs.append((d2, i, j))
-        pairs.sort()
-        used_t, used_c = set(), set()
-        for _, i, j in pairs:
-            if i in used_t or j in used_c:
-                continue
-            used_t.add(i)
-            used_c.add(j)
+        matches = _match_heads(live, cores, nx, ny, max_jump)
+        used_t = {i for i, _ in matches}
+        used_c = {j for _, j in matches}
+        for i, j in matches:
             cx, cy, cv = cores[j]
             live[i].steps.append(step)
             live[i].x.append(cx)
