@@ -77,6 +77,7 @@ _SLOW_NODEID_PATTERNS = (
     "test_pallas_fft.py::test_mm_bf16x3_trajectory_accuracy",
     "test_pallas_fft.py::test_bt_yfirst_matches_xfirst",
     "test_pallas_fft.py::test_fusekb_bit_identical",
+    "test_pallas_fft.py::test_fusetail_bit_identical",
     "test_pallas_overlap.py::test_overlapped_pair_matches_dfft",
     "test_adjoint.py::test_segmented_rollout_matches_unsegmented",
     "test_adjoint.py::test_sharded_gradient_matches_single_device",

@@ -322,3 +322,25 @@ def test_fusekb_bit_identical(mode, monkeypatch):
     m1 = bt.BarotropicModel.build(cfg)
     z1 = m1.segment(m1.init_state(v0), src, 5)
     np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+
+def test_fusetail_bit_identical(monkeypatch):
+    """The RK4 tail fused into the stage-4 KX kernel
+    (_kx_visc_tail_kernel) uses the same accumulation grouping as
+    plane_rk4_combine, so a forced plane-stepper trajectory must be
+    BIT-identical with the fusion on and off."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    cfg = ModelConfig(nx=128, ny=128, fft_backend="pallas")
+    v0 = makefields.kuo2004(cfg)
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(
+        1e-6 * rng.standard_normal(cfg.grid_shape).astype(np.float32))
+    monkeypatch.setattr(bt, "PLANE_STEPPER", True)
+    monkeypatch.setattr(pf, "FUSETAIL", "0")
+    m0 = bt.BarotropicModel.build(cfg)
+    z0 = m0.segment(m0.init_state(v0), src, 4)
+    monkeypatch.setattr(pf, "FUSETAIL", "1")
+    m1 = bt.BarotropicModel.build(cfg)
+    z1 = m1.segment(m1.init_state(v0), src, 4)
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))

@@ -260,19 +260,20 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
     fusekb = pf.fusekb_mode() if yfirst else ""
     h = dt * 0.5
 
-    def d(sr, si, axpy=None):
+    def d(sr, si, axpy=None, tail=None):
         if fusekb:
             # KB+advection fusion: the four physical fields never land
             # in HBM (ops/pallas_fft.py KB_ADV section)
             return pf.tendency_yfirst_fusedkb(
                 sr, si, src, t.kx, t.ky, t.rlap, t.lap, t.mask, nu,
-                grid_shape, axpy=axpy, mode=fusekb, beta=beta)
+                grid_shape, axpy=axpy, mode=fusekb, beta=beta,
+                tail=tail)
         dvdx, dvdy, u, v = pf.derivative_quad_planes(
             sr, si, t.kx, t.ky, t.rlap, grid_shape, ymajor=yfirst)
         if yfirst:
             return pf.forward_tendency_yfirst(
                 u, dvdx, v, dvdy, src, t.lap, t.mask, sr, si, nu,
-                grid_shape, axpy=axpy, beta=beta)
+                grid_shape, axpy=axpy, beta=beta, tail=tail)
         return pf.forward_tendency(u, dvdx, v, dvdy, src, t.lap, t.mask,
                                    sr, si, nu, grid_shape, beta=beta)
 
@@ -283,6 +284,13 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
         r1r, r1i, s2r, s2i = d(zr, zi, axpy=(zr, zi, h))
         r2r, r2i, s3r, s3i = d(s2r, s2i, axpy=(zr, zi, h))
         r3r, r3i, s4r, s4i = d(s3r, s3i, axpy=(zr, zi, dt))
+        if pf.fusetail_on() and pf.fusekx_on():
+            # RK4 tail rides the stage-4 KX epilogue: r4 never lands in
+            # HBM and the plane_rk4_combine pass disappears
+            # (_kx_visc_tail_kernel; bit-identical grouping)
+            return d(s4r, s4i,
+                     tail=(zr, zi, r1r, r1i, r2r, r2i, r3r, r3i,
+                           dt / 6.0))
         r4r, r4i = d(s4r, s4i)
         return psw.plane_rk4_combine(
             (zr, zi), (r1r, r1i), (r2r, r2i), (r3r, r3i), (r4r, r4i),

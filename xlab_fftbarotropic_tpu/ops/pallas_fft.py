@@ -1294,14 +1294,15 @@ def _visc_axpy_kernel(nu: float, coef: float, fr_ref, fi_ref, lap_ref,
 
 def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
                             nu: float, grid_shape, axpy=None,
-                            beta: float = 0.0) -> tuple:
+                            beta: float = 0.0, tail=None) -> tuple:
     """forward_tendency with Y-MAJOR (ny, nx) physical inputs and the
     y-first transform order: KY_adv (product + real partial y r2c) +
     KX (x c2c over hny columns) + VISC (viscosity + dealias epilogue).
     Same contract: dealias(rfft2(-u*zx - v*zy + src) + nu*lap*Z).
 
     axpy=(z0r, z0i, coef) fuses the RK stage-state update into the
-    epilogue, returning (rr, ri, z0r+coef*rr, z0i+coef*ri)."""
+    epilogue, returning (rr, ri, z0r+coef*rr, z0i+coef*ri); tail=(...)
+    fuses the RK4 tail combine instead (see forward_tail)."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     kc_tables = [jnp.asarray(t) for t in _kc_tables(ny)]
@@ -1323,7 +1324,7 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
     )(u, zx, v, zy, src, *kc_tables)
 
     return forward_tail(g1[0], g1[1], lap, mask, zr, zi, nu, grid_shape,
-                        axpy=axpy)
+                        axpy=axpy, tail=tail)
 
 
 # Fuse the VISC epilogue (+ RK stage axpy) INTO the KX forward kernel:
@@ -1347,6 +1348,19 @@ def forward_tendency_yfirst(u, zx, v, zy, src, lap, mask, zr, zi,
 # XFB_PLANE_STEPPER_MAX=0, and its bit-parity vs the XLA core is
 # pinned at 2e-9 on hardware, BASELINE.md).
 FUSEKX = _os.environ.get("XFB_BT_FUSEKX", "auto")
+
+# RK4 tail combine fused into the stage-4 KX kernel (see
+# _kx_visc_tail_kernel): deletes plane_rk4_combine's 0.40 GB/step +
+# launch. Probe status: bit-identity pinned in interpret mode
+# (tests/test_pallas_fft.py); auto follows the hardware A/B verdict
+# recorded in BASELINE.md. XFB_BT_FUSETAIL: auto | 0 | 1.
+FUSETAIL = _os.environ.get("XFB_BT_FUSETAIL", "auto")
+
+
+def fusetail_on() -> bool:
+    if FUSETAIL == "auto":
+        return False          # pending hardware A/B (round-4 probe)
+    return FUSETAIL not in ("", "0")
 
 
 def fusekx_on() -> bool:
@@ -1378,13 +1392,39 @@ def _kx_visc_kernel(nx: int, nu: float, coef, xr_ref, xi_ref,
         outs[3][:] = z0i_ref[:] + coef * ri
 
 
+def _kx_visc_tail_kernel(nx: int, nu: float, c: float, xr_ref, xi_ref,
+                         lap_ref, mask_ref, zsr_ref, zsi_ref, *rest):
+    """KX four-step + VISC epilogue + the RK4 TAIL combine: emits
+    z_{n+1} = z0 + (r1 + 2 r2 + 2 r3 + r4)*c directly (c = dt/6,
+    main.cpp:309-312), so stage 4's tendency r4 never lands in HBM and
+    the separate plane_rk4_combine pass (0.40 GB/step + one launch,
+    measured 0.59 ms/step at 4096² fast — the round-4 profiler capture)
+    disappears from the critical path. Same accumulation grouping as
+    _rk4_combine_kernel, so the fusion is bit-identical.
+    rest = tabs + (z0r, z0i, r1r, r1i, r2r, r2i, r3r, r3i) + (nr, ni)."""
+    m = xr_ref.shape[1]
+    tabs = rest[:-10]
+    z0r, z0i, r1r, r1i, r2r, r2i, r3r, r3i = rest[len(tabs):len(tabs) + 8]
+    nr_ref, ni_ref = rest[len(tabs) + 8:]
+    yr, yi = _four_step(_f32(xr_ref[:]), _f32(xi_ref[:]), nx, m,
+                        *(t[:] for t in tabs))
+    rr, ri = _visc_epilogue(nu, yr, yi, lap_ref[:], mask_ref[:],
+                            zsr_ref[:], zsi_ref[:])
+    nr_ref[:] = z0r[:] + (r1r[:] + 2.0 * r2r[:] + 2.0 * r3r[:] + rr) * c
+    ni_ref[:] = z0i[:] + (r1i[:] + 2.0 * r2i[:] + 2.0 * r3i[:] + ri) * c
+
+
 def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
-                 axpy=None) -> tuple:
+                 axpy=None, tail=None) -> tuple:
     """The y-first forward pipeline's tail: KX (x c2c over hny columns)
     + VISC (viscosity + dealias epilogue, optionally fused with the RK
     stage axpy). Input: the forward y-stage planes (nx, hny). With
     fusekx_on() the epilogue runs inside the KX kernel (column-blocked
-    operands) and the tendency spectrum never lands in HBM."""
+    operands) and the tendency spectrum never lands in HBM.
+
+    tail=(z0r, z0i, r1r, r1i, r2r, r2i, r3r, r3i, c) fuses the RK4
+    TAIL combine into the stage-4 KX kernel instead (returns the
+    stepped state planes directly); requires fusekx_on()."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
     row_spec = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
@@ -1397,6 +1437,21 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
     x_out = pl.BlockSpec((nx, BLOCK), lambda j: (0, j),
                          memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    if tail is not None:
+        assert fusekx_on(), "tail fusion requires the fused KX kernel"
+        *tail_planes, c = tail
+        ins = (fr, fi, lap, mask, zr, zi, *ka_tables, *tail_planes)
+        specs = [x_in] * 6 + tab_spec_a + [x_in] * 8
+        return pl.pallas_call(
+            functools.partial(_kx_visc_tail_kernel, nx, float(nu),
+                              float(c)),
+            grid=(pl.cdiv(hny, BLOCK),),
+            in_specs=specs,
+            out_specs=(x_out, x_out),
+            out_shape=(plane, plane),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(*ins)
     if fusekx_on():
         if axpy is None:
             ins = (fr, fi, lap, mask, zr, zi, *ka_tables)
@@ -1454,7 +1509,7 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
 def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
                             nu: float, grid_shape, axpy=None,
                             mode: str = "full",
-                            beta: float = 0.0) -> tuple:
+                            beta: float = 0.0, tail=None) -> tuple:
     """One full RK-stage tendency with the KB+advection fusion: KA grid
     x-stage -> KB_ADV (physical fields never in HBM) -> KX -> VISC.
     Bit-identical math to derivative_quad_planes(ymajor=True) +
@@ -1475,7 +1530,7 @@ def tendency_yfirst_fusedkb(sr, si, src, kx, ky, rlap, lap, mask,
     else:
         raise ValueError(f"unknown fusekb mode {mode!r}")
     return forward_tail(fr, fi, lap, mask, sr, si, nu, grid_shape,
-                        axpy=axpy)
+                        axpy=axpy, tail=tail)
 
 
 # ---------------------------------------------------------------------------
