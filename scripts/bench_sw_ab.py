@@ -95,7 +95,10 @@ def main():
         # intermediate-plane storage A/B (pallas_fft STORE note):
         # '-bf16store' / '-f32store' suffix on any planes variant
         base = name
-        if "-kyall" in base:
+        if "-kyloop" in base:
+            pallas_sw.KY_ALL = "loop"
+            base = base.replace("-kyloop", "")
+        elif "-kyall" in base:
             pallas_sw.KY_ALL = "1"
             base = base.replace("-kyall", "")
         if "-pstore" in base:

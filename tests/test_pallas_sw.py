@@ -399,6 +399,11 @@ def test_ky_all_bit_identical(monkeypatch):
     got = run()
     for a, b in zip(ref, got):
         assert np.array_equal(a, b)
+    # loop form: same per-product math and order, fori_loop scheduling
+    monkeypatch.setattr(psw, "KY_ALL", "loop")
+    got = run()
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
 
 
 def test_pstore_bf16_bounded(monkeypatch):

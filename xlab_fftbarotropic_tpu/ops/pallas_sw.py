@@ -142,7 +142,12 @@ KY_FMINOR = _os.environ.get("XFB_SW_KY_ORDER", "fmajor") == "fminor"
 # iteration-order change), ADOPTED there; at 4096² the 5x body
 # OOM-SIGKILLs the remote AOT compile helper (same host-RAM ceiling as
 # 8192²/BLOCK=256/bf16x3 — BASELINE.md), so auto gates on
-# max(nx, ny) <= KYALL_MAX (default 2048). XFB_SW_KYALL: auto | 0 | 1.
+# max(nx, ny) <= KYALL_MAX (default 2048). XFB_SW_KYALL: auto | 0 | 1
+# | loop. 'loop' runs the same five-product pass as a lax.fori_loop
+# inside the kernel (runtime product selection + dynamic leading-axis
+# store) instead of a 5x unrolled body — same math in the same order,
+# ~1/5 the kernel MLIR, built to fit the compile-helper host-RAM
+# ceiling that kills the unrolled body at 4096².
 KY_ALL = _os.environ.get("XFB_SW_KYALL", "auto")
 KYALL_MAX = int(_os.environ.get("XFB_SW_KYALL_MAX", "2048"))
 
@@ -160,13 +165,24 @@ KYALL_MAX = int(_os.environ.get("XFB_SW_KYALL_MAX", "2048"))
 PSTORE = _os.environ.get("XFB_SW_PSTORE", "auto")
 
 
-def ky_all_on(grid_shape=None) -> bool:
-    """Resolve KY_ALL at trace time; grid-gated in auto (see note)."""
+def ky_all_mode(grid_shape=None) -> str:
+    """Resolve KY_ALL at trace time: 'off' | 'unroll' | 'loop'.
+
+    auto = the unrolled body at <= KYALL_MAX (measured 1.084x at 2048²,
+    bit-identical) and off above it (the 4096² unrolled compile OOM);
+    the loop form is opt-in (XFB_SW_KYALL=loop) pending its hardware
+    A/B."""
+    if KY_ALL == "loop":
+        return "loop"
     if KY_ALL == "auto":
         if grid_shape is None:
-            return False
-        return max(grid_shape) <= KYALL_MAX
-    return KY_ALL not in ("", "0")
+            return "off"
+        return "unroll" if max(grid_shape) <= KYALL_MAX else "off"
+    return "off" if KY_ALL in ("", "0") else "unroll"
+
+
+def ky_all_on(grid_shape=None) -> bool:
+    return ky_all_mode(grid_shape) != "off"
 
 
 def pstore_dtype():
@@ -414,6 +430,38 @@ def _ky_all_kernel(ny: int, f0: float, grav: float, split: bool,
         oi_ref[i] = yi.T.astype(oi_ref.dtype)
 
 
+def _ky_all_loop_kernel(ny: int, f0: float, grav: float, split: bool,
+                        u_ref, v_ref, ze_ref, et_ref, ies_ref,
+                        far_ref, fai_ref, twr_ref, twi_ref, fbr_ref,
+                        fbi_ref, or_ref, oi_ref):
+    """The KY_ALL pass as a fori_loop over the five products: one
+    transform body + runtime jnp.where product selection + a dynamic
+    leading-axis store, instead of the 5x unrolled body. Identical
+    per-product math and iteration order -> bit-identical outputs; the
+    point is the ~5x smaller kernel MLIR (KY_ALL note above)."""
+    u = _f32(u_ref[:])
+    v = _f32(v_ref[:])
+    eta = _f32(et_ref[:]) * ies_ref[0, 0]
+    q = _f32(ze_ref[:]) if split else _f32(ze_ref[:]) + f0
+    ke = 0.5 * (u * u + v * v)
+    phi = ke if split else grav * eta + ke
+    tabs = (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+            fbi_ref[:])
+
+    def body(i, carry):
+        prod = jnp.where(
+            i == 0, q * u,
+            jnp.where(i == 1, q * v,
+                      jnp.where(i == 2, eta * u,
+                                jnp.where(i == 3, eta * v, phi))))
+        yr, yi = _kc_body(ny, prod, None, *tabs)
+        or_ref[pl.dslice(i, 1)] = yr.T[None].astype(or_ref.dtype)
+        oi_ref[pl.dslice(i, 1)] = yi.T[None].astype(oi_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, 5, body, 0, unroll=False)
+
+
 def _kx_fwd_kernel(nx: int, xr_ref, xi_ref,
                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
                    or_ref, oi_ref):
@@ -582,7 +630,8 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     if YFIRST:
         # --- KY_FWD: products + real-input partial y r2c (y-major in,
         # x-major half-spectrum out) ---
-        if ky_all_on((nx, ny)):
+        kyall = ky_all_mode((nx, ny))
+        if kyall != "off":
             y1 = pl.BlockSpec((ny, BLOCK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
             ies1 = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -592,8 +641,10 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
                      for t in kc_tabs]
             out1 = pl.BlockSpec((5, BLOCK, hny), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
+            kern = (_ky_all_loop_kernel if kyall == "loop"
+                    else _ky_all_kernel)
             g1r, g1i = pl.pallas_call(
-                functools.partial(_ky_all_kernel, ny, float(f0),
+                functools.partial(kern, ny, float(f0),
                                   float(grav), split),
                 grid=(pl.cdiv(nx, BLOCK),),
                 in_specs=[y1] * 4 + [ies1] + tabs1,
