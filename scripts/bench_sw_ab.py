@@ -48,9 +48,10 @@ def main():
     print(f"# warm-up fetch {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    def build(backend):
-        cfg = ModelConfig(nx=args.nx, ny=args.nx, dt=args.dt,
-                          fft_backend=backend)
+    def build(backend, scheme="rk4", dt=None):
+        cfg = ModelConfig(nx=args.nx, ny=args.nx,
+                          dt=args.dt if dt is None else dt,
+                          fft_backend=backend, time_scheme=scheme)
         m = ShallowWaterModel.build(cfg)
         s = m.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
         return m, s
@@ -133,19 +134,33 @@ def main():
             pallas_sw.SPLIT_LINEAR = ("1" if base.endswith("-split")
                                       else "0")
             m, s = build("pallas")
+        elif base.startswith("etdrk4"):
+            # exponential integrator (models/etdrk4.py): dt may carry
+            # as a suffix multiple of args.dt, e.g. etdrk4x10 = 10x;
+            # '-xlafft' pins the XLA transform path for N
+            spec2 = base[len("etdrk4"):]
+            be = "pallas"
+            if spec2.endswith("-xlafft"):
+                be, spec2 = "xla", spec2[:-len("-xlafft")]
+            mult = float(spec2[1:]) if spec2.startswith("x") else 1.0
+            m, s = build(be, scheme="etdrk4", dt=args.dt * mult)
         else:
             raise SystemExit(f"unknown backend {name}")
         ms, out, csum = run(m, s)
+        dt_used = float(m.cfg.dt)
         rec = {"backend": name, "nx": args.nx, "steps": args.steps,
-               "dt": args.dt, "ms_per_step": round(ms, 2),
+               "dt": dt_used, "ms_per_step": round(ms, 2),
                "gp_per_s": round(args.nx * args.nx / ms * 1e3, 1),
+               "sim_s_per_wall_s": round(dt_used / ms * 1e3, 1),
                "checksum": csum,
                "build_plus_compile_s":
                    round(time.perf_counter() - t_build - ms
                          * args.steps / 1e3, 1)}
         if name == "xla":
             ref_out = out
-        elif ref_out is not None:
+        elif ref_out is not None and dt_used == args.dt:
+            # same dt + steps = same horizon; a scaled-dt etdrk4 row
+            # ends at a different simulated time, no state comparison
             rz, rd, re_ = (float(v) for v in rel_l2(out, ref_out))
             rec["rel_l2_vs_xla"] = {"zeta": rz, "div": rd, "eta": re_}
         print(json.dumps(rec), flush=True)

@@ -99,6 +99,17 @@ class ModelConfig:
     mean_depth: float = 1000.0
     # checkpoint cadence in steps; 0 disables
     checkpoint_step: int = 0
+    # Time integrator (shallow-water only; barotropic/tracer are RK4):
+    #   'rk4'    — classic explicit RK4, the reference's scheme
+    #              (main.cpp:286-317); dt capped by the gravity-wave
+    #              CFL sqrt(gH)*k_max (0.847 s at 4096^2 defaults).
+    #   'etdrk4' — exponential ETDRK4 (models/etdrk4.py): the per-mode
+    #              3x3 linear operator (Coriolis/gravity/mass/viscous)
+    #              integrated EXACTLY via precomputed phi-function
+    #              tables; only the advective CFL of the nonlinear
+    #              terms remains, typically an order of magnitude
+    #              looser. 4th-order in dt on the nonlinear terms.
+    time_scheme: str = "rk4"
     # FFT implementation for the single-device hot path:
     #   'auto'   — 'pallas' on TPU for supported grids, else 'xla'
     #   'xla'    — XLA's native FFT lowering (jnp.fft)
@@ -240,6 +251,13 @@ def add_config_args(parser, defaults: Optional[ModelConfig] = None):
     parser.add_argument("--fft-backend",
                         choices=["auto", "xla", "mxu", "pallas"],
                         default=d.fft_backend)
+    parser.add_argument("--time-scheme", choices=["rk4", "etdrk4"],
+                        dest="time_scheme", default=d.time_scheme,
+                        help="SW integrator: 'etdrk4' integrates the "
+                             "linear (gravity-wave/Coriolis/viscous) "
+                             "dynamics exactly, lifting the sqrt(gH) "
+                             "CFL bound to the advective one "
+                             "(models/etdrk4.py)")
     return parser
 
 

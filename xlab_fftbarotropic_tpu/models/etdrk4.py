@@ -1,0 +1,306 @@
+"""ETDRK4 exponential time integrator for the shallow-water family.
+
+Capability with no reference counterpart (the reference integrates
+everything with explicit RK4, main.cpp:286-317, and only ever promised a
+shallow-water solver, TODO.md:5): the rotating-SW linear operator —
+Coriolis, gravity-wave coupling, mass divergence, viscosity/drag — is a
+REAL 3x3 matrix per spectral mode acting on (zeta, div, eta):
+
+    L(k) = [[ a , -f',   0    ],        a  = nu*lap - r_drag - nu4*lap^2
+            [ f',  a , -g*lap ],        f' = f  (0 at the mean mode)
+            [ 0 , -H ,   0    ]]        lap = -(kx^2 + ky^2)
+
+so its matrix exponential and the ETDRK4 phi-functions precompute to
+per-mode 3x3 coefficient tables, and the integrator treats the ENTIRE
+linear dynamics exactly at any dt. Stability is then limited only by the
+advective CFL of the nonlinear terms — not the gravity-wave bound
+sqrt(gH)*k_max that caps classic RK4 at 0.847 s on the 4096^2 default
+domain (models/shallow_water.py:max_stable_dt) while the advective limit
+sits an order of magnitude higher for met-scale winds.
+
+This is the Cox & Mathews (2002) ETDRK4 scheme in the Kassam &
+Trefethen (2005) coefficient form, generalized from their scalar
+diagonal L to the per-mode 3x3 block diagonal:
+
+    an    = E2 u + Q N(u)
+    bn    = E2 u + Q N(an)
+    cn    = E2 an + Q (2 N(bn) - N(u))
+    u_new = E u + F1 N(u) + F2 (N(an)+N(bn)) + F3 N(cn)
+
+with E = exp(L dt), E2 = exp(L dt/2), Q = dt phi1(L dt/2) and
+F1 = dt (phi1 - 3 phi2 + 4 phi3), F2 = dt (2 phi2 - 4 phi3),
+F3 = dt (4 phi3 - phi2), all evaluated at L dt. In the L -> 0 limit the
+weights reduce to classic RK4 (1/6, 1/3, 1/3, 1/6), and the nonlinear
+tendency N is the existing split-linear SW tendency with every linear
+coefficient zeroed (models/shallow_water.py:tendency with
+f=g=nu=H=r=nu4=0, split=True) — the split-linear refactoring already
+isolates exactly the part ETDRK4 needs, transforms included.
+
+Table construction is vectorized host-side numpy in float64: a scaled
+Taylor series for (exp, phi1, phi2, phi3) at L dt / 2^s with
+||L dt||/2^s <= 1/4, then s applications of the exact doubling
+identities
+
+    exp(2A)  = E^2
+    phi1(2A) = (E + I) phi1 / 2
+    phi2(2A) = (phi1^2 + 2 phi2) / 4
+    phi3(2A) = (phi2 (phi1 + I) + 2 phi3) / 8
+
+(all products commute — polynomials in the same A). This is robust at
+the defective/critically-damped modes where an eigendecomposition
+degenerates, and handles the nilpotent mean-mode block (eta' = -H div)
+exactly.
+
+Dealiasing contract: RK4 dealiases the TENDENCY, never the state
+(SURVEY.md section 5.6), so above-cutoff state modes stay exactly
+frozen. To keep that contract, E and E2 are blended to the identity
+outside the dealias mask and the phi-coefficient tables (Q, F1..F3) are
+zeroed there; N is dealiased per stage like every other path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.spectral import SpectralTables
+from . import shallow_water as swm
+
+
+class SWEtdTables(NamedTuple):
+    """Per-mode 3x3 coefficient tables, each (3, 3, nx, hny) float32.
+
+    Q and F1..F3 carry the dt factor already. Passed to the jitted step
+    as ARGUMENTS (axon closure-constant rule, models/barotropic.py)."""
+    E: jax.Array
+    E2: jax.Array
+    Q: jax.Array
+    F1: jax.Array
+    F2: jax.Array
+    F3: jax.Array
+
+
+def sw_linear_matrix(cfg: ModelConfig,
+                     tables: SpectralTables) -> np.ndarray:
+    """The per-mode linear operator L as an (nx, hny, 3, 3) float64
+    array, matching the split-linear terms of
+    models/shallow_water.py:tendency exactly (f masked at the mean
+    mode the way the fz factor is)."""
+    lap = np.asarray(tables.lap, np.float64)         # -(kx^2+ky^2)
+    f = float(cfg.f)
+    fz = np.where(lap != 0.0, f, 0.0)
+    a = (float(cfg.nu) * lap - float(cfg.r_drag)
+         - float(cfg.nu4) * lap * lap)
+    g = float(cfg.gravity)
+    H = float(cfg.mean_depth)
+    nx, hny = lap.shape
+    L = np.zeros((nx, hny, 3, 3), np.float64)
+    L[..., 0, 0] = a
+    L[..., 0, 1] = -fz
+    L[..., 1, 0] = fz
+    L[..., 1, 1] = a
+    L[..., 1, 2] = -g * lap
+    L[..., 2, 1] = -H
+    return L
+
+
+def _phi_series(T: np.ndarray, terms: int = 24):
+    """(E, phi1, phi2, phi3) of small-norm batched matrices T by Taylor
+    series: phi_j = sum_{k>=0} T^k / (k+j)!."""
+    eye = np.broadcast_to(np.eye(3), T.shape).copy()
+    acc = [eye.copy(), eye.copy() / 1.0, eye.copy() / 2.0,
+           eye.copy() / 6.0]
+    # phi_j leading coefficients: 1/j! ; term k adds T^k/(k+j)!
+    P = eye.copy()
+    fact = [1.0, 1.0, 2.0, 6.0]
+    kfact = 1.0
+    for k in range(1, terms + 1):
+        P = P @ T
+        kfact *= k
+        # (k+j)! = kfact * prod_{i=1..j} (k+i)
+        d0 = kfact
+        d1 = d0 * (k + 1)
+        d2 = d1 * (k + 2)
+        d3 = d2 * (k + 3)
+        acc[0] += P / d0
+        acc[1] += P / d1
+        acc[2] += P / d2
+        acc[3] += P / d3
+    del fact
+    return acc
+
+
+def _phi_functions(A: np.ndarray):
+    """(exp(A), phi1(A), phi2(A), phi3(A)) for batched (..., 3, 3)
+    float64 A by scaling (series at A/2^s) + the doubling identities."""
+    # max row-sum norm over the batch decides the scaling
+    norm = float(np.max(np.sum(np.abs(A), axis=-1))) if A.size else 0.0
+    s = max(0, int(np.ceil(np.log2(max(norm, 1e-300) / 0.25))))
+    E, p1, p2, p3 = _phi_series(A / (2.0 ** s))
+    eye = np.broadcast_to(np.eye(3), A.shape)
+    for _ in range(s):
+        p3 = (p2 @ (p1 + eye) + 2.0 * p3) / 8.0
+        p2 = (p1 @ p1 + 2.0 * p2) / 4.0
+        p1 = (E + eye) @ p1 / 2.0
+        E = E @ E
+    return E, p1, p2, p3
+
+
+def build_tables(cfg: ModelConfig, tables: SpectralTables,
+                 dt: float, row_chunk: int = 256) -> SWEtdTables:
+    """Precompute the six ETDRK4 coefficient tables (host numpy,
+    float64, chunked over spectral rows to bound memory at 4096^2)."""
+    L = sw_linear_matrix(cfg, tables)
+    mask = np.asarray(tables.mask, np.float64)[..., None, None]
+    nx = L.shape[0]
+    eye = np.eye(3)
+    outs = {k: np.empty(L.shape, np.float32)
+            for k in ("E", "E2", "Q", "F1", "F2", "F3")}
+    for i0 in range(0, nx, row_chunk):
+        sl = slice(i0, min(i0 + row_chunk, nx))
+        A = L[sl] * dt
+        m = mask[sl]
+        E, p1, p2, p3 = _phi_functions(A)
+        E2, q1, _, _ = _phi_functions(A * 0.5)
+        # dealias contract: identity outside the mask for the state
+        # propagators, zero for the tendency-weight tables
+        outs["E"][sl] = (m * E + (1.0 - m) * eye).astype(np.float32)
+        outs["E2"][sl] = (m * E2 + (1.0 - m) * eye).astype(np.float32)
+        outs["Q"][sl] = (m * dt * 0.5 * q1).astype(np.float32)
+        outs["F1"][sl] = (m * dt * (p1 - 3.0 * p2 + 4.0 * p3)
+                          ).astype(np.float32)
+        outs["F2"][sl] = (m * dt * (2.0 * p2 - 4.0 * p3)
+                          ).astype(np.float32)
+        outs["F3"][sl] = (m * dt * (4.0 * p3 - p2)).astype(np.float32)
+    # (nx, hny, 3, 3) -> (3, 3, nx, hny): the matvec reads 9 plane
+    # slices; leading matrix axes keep each plane contiguous
+    return SWEtdTables(*(jnp.asarray(np.moveaxis(outs[k], (-2, -1),
+                                                 (0, 1)))
+                         for k in ("E", "E2", "Q", "F1", "F2", "F3")))
+
+
+def _matvec(T: jax.Array, s: "swm.SWState") -> "swm.SWState":
+    """Apply the per-mode real 3x3 table to the complex state vector."""
+    z, d, e = s.zeta_hat, s.div_hat, s.eta_hat
+    return swm.SWState(
+        zeta_hat=T[0, 0] * z + T[0, 1] * d + T[0, 2] * e,
+        div_hat=T[1, 0] * z + T[1, 1] * d + T[1, 2] * e,
+        eta_hat=T[2, 0] * z + T[2, 1] * d + T[2, 2] * e)
+
+
+def _add(a: "swm.SWState", b: "swm.SWState") -> "swm.SWState":
+    return swm.SWState(*(x + y for x, y in zip(a, b)))
+
+
+def etdrk4_step(t: SpectralTables, tabs: SWEtdTables, s: "swm.SWState",
+                src, grid_shape: Tuple[int, int],
+                fwd=None, inv=None, inv_pair=None,
+                fwd_pair=None) -> "swm.SWState":
+    """One ETDRK4 step (module docstring). N = the nonlinear-only SW
+    tendency: shallow_water.tendency with every linear coefficient
+    zeroed and split=True (the split-linear refactoring isolates
+    exactly the nonlinear fluxes), dealiased per stage like RK4."""
+    from ..ops import fft
+
+    kw = {}
+    if fwd is not None:
+        kw["fwd"] = fwd
+    if inv is not None:
+        kw["inv"] = inv
+
+    def N(state):
+        d = swm.tendency(t, state, src, f=0.0, g=0.0, nu=0.0,
+                         mean_depth=0.0, grid_shape=grid_shape,
+                         inv_pair=inv_pair, fwd_pair=fwd_pair,
+                         split=True, **kw)
+        return swm._dealias_state(t, d)
+
+    n1 = N(s)
+    e2u = _matvec(tabs.E2, s)
+    an = _add(e2u, _matvec(tabs.Q, n1))
+    n2 = N(an)
+    bn = _add(e2u, _matvec(tabs.Q, n2))
+    n3 = N(bn)
+    cn = _add(_matvec(tabs.E2, an),
+              _matvec(tabs.Q, swm.SWState(*(2.0 * x - y for x, y
+                                            in zip(n3, n1)))))
+    n4 = N(cn)
+    out = _add(_matvec(tabs.E, s), _matvec(tabs.F1, n1))
+    out = _add(out, _matvec(tabs.F2, _add(n2, n3)))
+    return _add(out, _matvec(tabs.F3, n4))
+
+
+def _matvec_planes(T: jax.Array, p):
+    """Apply the per-mode 3x3 table to the six-plane representation
+    (zr, zi, dr, di, er, ei). The plane state is the plain UNSCALED
+    spectral state (the eta pairing-equalizer scale only exists on the
+    physical-space intermediate inside the kernels), so this is the
+    same real matvec as _matvec on re/im separately."""
+    zr, zi, dr, di, er, ei = p
+    return (T[0, 0] * zr + T[0, 1] * dr + T[0, 2] * er,
+            T[0, 0] * zi + T[0, 1] * di + T[0, 2] * ei,
+            T[1, 0] * zr + T[1, 1] * dr + T[1, 2] * er,
+            T[1, 0] * zi + T[1, 1] * di + T[1, 2] * ei,
+            T[2, 0] * zr + T[2, 1] * dr + T[2, 2] * er,
+            T[2, 0] * zi + T[2, 1] * di + T[2, 2] * ei)
+
+
+def _addp(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def etdrk4_step_planes(t: SpectralTables, tabs: SWEtdTables, p,
+                       src_planes, grid_shape: Tuple[int, int],
+                       eta_scale):
+    """ETDRK4 on the six-float32-plane SW state — the fused Pallas
+    plane-stepper path (models/shallow_water.py:rk4_step_planes's
+    transform machinery, reused unchanged): N is inverse_quad_planes +
+    forward_tendencies with every linear coefficient zero, which the
+    split-linear kernel structure already supports (f=g=0 makes the
+    products pure nonlinear fluxes; nu=H=0 turns COMBINE into the
+    dealiased nonlinear tendency). Unlike the RK4 plane stepper this
+    path also carries r_drag/nu4 — they live in the L tables, not the
+    kernels."""
+    from ..ops import pallas_sw as psw
+
+    es = eta_scale
+
+    def N(q):
+        u, v, zeta, eta_s = psw.inverse_quad_planes(
+            *q, t.kx, t.ky, t.rlap, grid_shape, eta_scale=es)
+        return psw.forward_tendencies(
+            u, v, zeta, eta_s, q, src_planes, t.kx, t.ky, t.lap,
+            t.mask, 0.0, 0.0, 0.0, 0.0, grid_shape, eta_scale=es)
+
+    n1 = N(p)
+    e2u = _matvec_planes(tabs.E2, p)
+    an = _addp(e2u, _matvec_planes(tabs.Q, n1))
+    n2 = N(an)
+    bn = _addp(e2u, _matvec_planes(tabs.Q, n2))
+    n3 = N(bn)
+    cn = _addp(_matvec_planes(tabs.E2, an),
+               _matvec_planes(tabs.Q,
+                              tuple(2.0 * x - y
+                                    for x, y in zip(n3, n1))))
+    n4 = N(cn)
+    out = _addp(_matvec_planes(tabs.E, p),
+                _matvec_planes(tabs.F1, n1))
+    out = _addp(out, _matvec_planes(tabs.F2, _addp(n2, n3)))
+    return _addp(out, _matvec_planes(tabs.F3, n4))
+
+
+def max_advective_dt(cfg: ModelConfig, u_max: float) -> float:
+    """Advective stability estimate for ETDRK4 (the linear waves are
+    exact, so this is the only CFL left): |u|_max * k_max * dt <= 2.8
+    (the RK4 imaginary-axis bound, same constant class as the
+    gravity-wave bound it replaces)."""
+    import math
+    kx_max = math.pi * cfg.nx / cfg.lx
+    ky_max = math.pi * cfg.ny / cfg.ly
+    k_max = math.hypot(kx_max, ky_max)
+    return 2.8 / max(u_max * k_max, 1e-30)

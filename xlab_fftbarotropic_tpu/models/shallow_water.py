@@ -311,15 +311,17 @@ class ShallowWaterModel:
 
         H = float(cfg.mean_depth)
 
+        etd = cfg.time_scheme == "etdrk4"
         dt_max = max_stable_dt(cfg)
-        if dt > dt_max:
+        if dt > dt_max and not etd:
             import warnings
             warnings.warn(
                 f"SW gravity-wave CFL violated: dt={dt:g} s exceeds the "
                 f"RK4 stability bound {dt_max:.3g} s for c=sqrt(gH)="
                 f"{(grav * H) ** 0.5:.1f} m/s at {cfg.nx}x{cfg.ny} — the "
                 "run will blow up; reduce dt (verified NaN at 4096^2 "
-                "with dt=3)", stacklevel=2)
+                "with dt=3), or use --time-scheme etdrk4 (exact linear "
+                "waves; only the advective CFL remains)", stacklevel=2)
 
         from .barotropic import (resolve_fft_backend,
                                  resolve_fft_backend_name,
@@ -335,7 +337,7 @@ class ShallowWaterModel:
         r_drag = float(cfg.r_drag)
         nu4 = float(cfg.nu4)
         if (r_drag != 0.0 or nu4 != 0.0) and resolved == "pallas" \
-                and use_plane_stepper(g_shape):
+                and use_plane_stepper(g_shape) and not etd:
             # The SW plane kernels use the lap table for the pressure
             # term and the mean-mode f-masking too, so the barotropic
             # fold trick (lap := nu*lap - r - nu4*lap^2) would corrupt
@@ -347,7 +349,80 @@ class ShallowWaterModel:
                 "carry these terms — falling back to the per-transform "
                 "pipeline for this run", stacklevel=2)
 
-        if resolved == "pallas" and use_plane_stepper(g_shape) \
+        if etd:
+            # ETDRK4 (models/etdrk4.py): exact linear propagation via
+            # per-mode 3x3 phi-tables; N is the split-linear nonlinear
+            # tendency on the per-transform path of the resolved
+            # backend (the fused plane stepper hard-codes the RK4
+            # stage structure). Tables ride as jit ARGUMENTS.
+            from . import etdrk4 as etd_mod
+            import os
+            etabs = etd_mod.build_tables(cfg, t, dt)
+            planes = resolved == "pallas" and use_plane_stepper(g_shape)
+            _fp_max = int(os.environ.get("XFB_FORWARD_PAIR_MAX", 1024))
+            fwd_pair_e = (fft.forward_pair
+                          if resolved == "xla"
+                          and max(g_shape) <= _fp_max
+                          and os.environ.get("XFB_FORWARD_PAIR",
+                                             "1") != "0"
+                          else None)
+
+            if planes:
+                # fused plane-stepper transforms for N (zero kernel
+                # changes: f=g=nu=H=0 turns forward_tendencies into the
+                # pure dealiased nonlinear tendency); unlike RK4 planes
+                # this path carries r_drag/nu4 — they live in L
+                from ..ops import pallas_sw as psw
+
+                @jax.jit
+                def estep_(et, t, s: SWState, src):
+                    sp_ = (None if src is None
+                           else psw.forward_planes(src))
+                    p = _state_to_planes(s)
+                    out = etd_mod.etdrk4_step_planes(
+                        t, et, p, sp_, g_shape,
+                        psw.eta_pair_scale(p))
+                    return _planes_to_state(out)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, t, s: SWState, src, n_steps: int):
+                    sp_ = (None if src is None
+                           else psw.forward_planes(src))
+                    p0 = _state_to_planes(s)
+                    es = psw.eta_pair_scale(p0)
+
+                    def body(p, _):
+                        return etd_mod.etdrk4_step_planes(
+                            t, et, p, sp_, g_shape, es), None
+                    p, _ = jax.lax.scan(body, p0, None,
+                                        length=n_steps)
+                    return _planes_to_state(p)
+            else:
+                @jax.jit
+                def estep_(et, t, s: SWState, src):
+                    return etd_mod.etdrk4_step(
+                        t, et, s, src, g_shape, fwd=fwd, inv=inv,
+                        inv_pair=inv_pair, fwd_pair=fwd_pair_e)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, t, s: SWState, src, n_steps: int):
+                    def body(state, _):
+                        return etd_mod.etdrk4_step(
+                            t, et, state, src, g_shape, fwd=fwd,
+                            inv=inv, inv_pair=inv_pair,
+                            fwd_pair=fwd_pair_e), None
+                    out, _ = jax.lax.scan(body, s, None,
+                                          length=n_steps)
+                    return out
+
+            # tables bound as leading ARGUMENTS of the jitted fns (not
+            # closure constants — axon lowering-fetch rule); the tail
+            # code then binds t like every other branch
+            step_ = functools.partial(estep_, etabs)
+            segment_ = functools.partial(esegment_, etabs)
+        elif resolved == "pallas" and use_plane_stepper(g_shape) \
                 and r_drag == 0.0 and nu4 == 0.0:
             # fully fused plane-state stepper (ops/pallas_sw.py): the SW
             # counterpart of the barotropic rk4_step_planes path —

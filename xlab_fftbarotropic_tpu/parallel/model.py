@@ -372,6 +372,12 @@ class ShardedShallowWaterModel:
                 "beta-plane is barotropic/tracer-only: shallow water "
                 "needs the spatially varying f inside curl(f u)/div(f u) "
                 "(config.py beta note)")
+        if cfg.time_scheme != "rk4":
+            raise NotImplementedError(
+                "the sharded SW model integrates with RK4; ETDRK4 "
+                "(models/etdrk4.py) is single-device for now — its 3x3 "
+                "phi tables shard trivially along x like every other "
+                "spectral table, so extending it is plumbing, not math")
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
