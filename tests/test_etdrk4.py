@@ -89,7 +89,7 @@ def test_linear_matrix_matches_tendency():
     nonlin = swm.tendency(t, s, None, f=0.0, g=0.0, nu=0.0,
                           mean_depth=0.0, grid_shape=cfg.grid_shape,
                           split=True)
-    L = etd.sw_linear_matrix(cfg, t)      # (nx, hny, 3, 3)
+    L = etd.sw_linear_matrix(cfg)         # (nx, hny, 3, 3)
     vec = jnp.stack(list(s), axis=-1)     # (nx, hny, 3)
     lin = jnp.einsum("xyij,xyj->xyi", jnp.asarray(L, jnp.complex64), vec)
     for i, (a, b) in enumerate(zip(full, nonlin)):

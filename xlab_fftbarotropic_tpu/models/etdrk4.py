@@ -85,13 +85,35 @@ class SWEtdTables(NamedTuple):
     F3: jax.Array
 
 
-def sw_linear_matrix(cfg: ModelConfig,
-                     tables: SpectralTables) -> np.ndarray:
-    """The per-mode linear operator L as an (nx, hny, 3, 3) float64
-    array, matching the split-linear terms of
+def _host_lap_mask(cfg: ModelConfig, hpad: int = 0):
+    """(lap, mask) as float64 HOST arrays, recomputed from the config —
+    never fetched from the device tables: at 4096^2 a 33.6 MB
+    device->host fetch trips the axon tunnel's UNIMPLEMENTED transfer
+    limit (CLAUDE.md). hpad > hny pads columns like
+    parallel/pencil.py:pad_tables (lap -> 0, mask -> 0: pad modes get
+    identity propagators and zero tendency weights, so sharded padded
+    states stay exactly zero there)."""
+    from ..ops import spectral as sp
+    kx = sp.wavenumbers_x(cfg.nx, cfg.lx)
+    ky = sp.wavenumbers_y(cfg.ny, cfg.ly)
+    lap = -(np.asarray(kx, np.float64)[:, None] ** 2
+            + np.asarray(ky, np.float64)[None, :] ** 2)
+    mask = np.asarray(
+        sp.dealias_mask(cfg.nx, cfg.ny, cfg.dealias_rule), np.float64)
+    hny = lap.shape[1]
+    if hpad and hpad > hny:
+        pad = ((0, 0), (0, hpad - hny))
+        lap = np.pad(lap, pad)
+        mask = np.pad(mask, pad)
+    return lap, mask
+
+
+def sw_linear_matrix(cfg: ModelConfig, hpad: int = 0) -> np.ndarray:
+    """The per-mode linear operator L as an (nx, hny[, +pad], 3, 3)
+    float64 array, matching the split-linear terms of
     models/shallow_water.py:tendency exactly (f masked at the mean
     mode the way the fz factor is)."""
-    lap = np.asarray(tables.lap, np.float64)         # -(kx^2+ky^2)
+    lap, _ = _host_lap_mask(cfg, hpad)
     f = float(cfg.f)
     fz = np.where(lap != 0.0, f, 0.0)
     a = (float(cfg.nu) * lap - float(cfg.r_drag)
@@ -151,12 +173,14 @@ def _phi_functions(A: np.ndarray):
     return E, p1, p2, p3
 
 
-def build_tables(cfg: ModelConfig, tables: SpectralTables,
-                 dt: float, row_chunk: int = 256) -> SWEtdTables:
+def build_tables(cfg: ModelConfig, dt: float, row_chunk: int = 256,
+                 hpad: int = 0) -> SWEtdTables:
     """Precompute the six ETDRK4 coefficient tables (host numpy,
-    float64, chunked over spectral rows to bound memory at 4096^2)."""
-    L = sw_linear_matrix(cfg, tables)
-    mask = np.asarray(tables.mask, np.float64)[..., None, None]
+    float64, chunked over spectral rows to bound memory at 4096^2;
+    everything derives from the config on host — the device tables are
+    never fetched, see _host_lap_mask)."""
+    L = sw_linear_matrix(cfg, hpad)
+    mask = _host_lap_mask(cfg, hpad)[1][..., None, None]
     nx = L.shape[0]
     eye = np.eye(3)
     outs = {k: np.empty(L.shape, np.float32)
