@@ -214,6 +214,66 @@ def test_plane_path_carries_drag():
     assert _rel(b.eta_hat, a.eta_hat) < 3e-4
 
 
+@pytest.mark.parametrize("decomp", ["slab", "xpencil"])
+def test_sharded_etdrk4_matches_single(decomp):
+    """Sharded ETDRK4 (slab and padded-xpencil table layouts) matches
+    the single-device ETDRK4 trajectory on the 8-virtual-device mesh,
+    at a dt above the RK4 gravity-wave bound."""
+    from xlab_fftbarotropic_tpu.parallel import (
+        ShardedShallowWaterModel, make_mesh)
+    cfg = ModelConfig(nx=64, ny=64, time_scheme="etdrk4")
+    cfg = cfg.replace(dt=2 * max_stable_dt(cfg))
+    mesh = make_mesh(jax.devices())
+    vort0 = jnp.asarray(makefields.gaussian(cfg, zeta0=1e-5))
+    single = ShallowWaterModel.build(cfg)
+    multi = ShardedShallowWaterModel.build(cfg, mesh, decomp=decomp)
+    s1 = single.segment(single.geostrophic_init(vort0),
+                        single.zero_source(), 3)
+    sN = multi.unshard_state(
+        multi.segment(multi.geostrophic_init(vort0),
+                      multi.zero_source(), 3))
+    scale = max(float(jnp.max(jnp.abs(f))) for f in s1)
+    for a, b in zip(sN, s1):
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=5e-5)
+
+
+def test_adjoint_through_etdrk4():
+    """jax.grad through an ETDRK4 SW rollout (adjoint.make_rollout
+    picks the scheme up from the config) is finite and matches a
+    central finite difference along a random direction — the
+    differentiable-simulation stack needs no ETD-specific rules (the
+    matvecs are linear; the kernels' custom VJPs are shared with RK4)."""
+    from xlab_fftbarotropic_tpu import adjoint
+    cfg = _cfg(time_scheme="etdrk4")
+    cfg = cfg.replace(dt=2 * max_stable_dt(cfg))
+    roll = adjoint.make_rollout(cfg, 3, model_kind="sw")
+    v0 = jnp.asarray(makefields.gaussian(cfg))
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+
+    def loss(v, s):
+        out = roll(v, s)
+        return sum(jnp.sum(jnp.square(jnp.abs(x)))
+                   for x in jax.tree_util.tree_leaves(out)) * 1e-6
+
+    g = jax.grad(loss)(v0, src)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.standard_normal(cfg.grid_shape)
+                    .astype(np.float32))
+    # FD sweep (2026-08-20): at this 2x-bound dt the rollout is
+    # strongly nonlinear in v, so large probes are truncation-dominated
+    # (eps=5%: fd 0.57 vs an 1.095) while eps=1% converges to the
+    # analytic value within 1.2%; at 0.5x-bound dt the two agree to 4
+    # digits. 1% probe + 5% tolerance pins the gradient.
+    eps = 1e-2 * float(jnp.max(jnp.abs(v0)))
+    fd = (float(loss(v0 + eps * d, src))
+          - float(loss(v0 - eps * d, src))) / (2 * eps)
+    an = float(jnp.vdot(g, d))
+    assert abs(fd - an) < 5e-2 * max(abs(fd), abs(an)), (fd, an)
+
+
 def test_forcing_enters_like_rk4():
     """The vorticity source rides N (fixed across stages); at small dt
     the forced trajectories of the two schemes agree."""

@@ -139,15 +139,15 @@ KY_FMINOR = _os.environ.get("XFB_SW_KY_ORDER", "fmajor") == "fminor"
 # left in the SW step). The trade is a 5x bigger serial kernel body.
 # Hardware A/B (2026-08-20, fast mode, bench_sw_ab.py): 2048²
 # 11.06 -> 10.20 ms/step (1.084x, outputs BIT-IDENTICAL — pure
-# iteration-order change), ADOPTED there; at 4096² the 5x body
+# iteration-order change), ADOPTED there; at 4096² the 5x UNROLLED body
 # OOM-SIGKILLs the remote AOT compile helper (same host-RAM ceiling as
-# 8192²/BLOCK=256/bf16x3 — BASELINE.md), so auto gates on
-# max(nx, ny) <= KYALL_MAX (default 2048). XFB_SW_KYALL: auto | 0 | 1
-# | loop. 'loop' runs the same five-product pass as a lax.fori_loop
-# inside the kernel (runtime product selection + dynamic leading-axis
-# store) instead of a 5x unrolled body — same math in the same order,
-# ~1/5 the kernel MLIR, built to fit the compile-helper host-RAM
-# ceiling that kills the unrolled body at 4096².
+# 8192²/BLOCK=256/bf16x3 — BASELINE.md). The 'loop' form runs the same
+# five-product pass as a lax.fori_loop inside the kernel (runtime
+# product selection + dynamic leading-axis store) — same math in the
+# same order, ~1/5 the kernel MLIR — and FITS at 4096² (hardware
+# 2026-08-20: 63 s compile, 39.38 ms/step vs 40.02 off, outputs
+# bit-identical), so auto = unroll <= KYALL_MAX, loop above it.
+# XFB_SW_KYALL: auto | 0 | 1 | loop.
 KY_ALL = _os.environ.get("XFB_SW_KYALL", "auto")
 KYALL_MAX = int(_os.environ.get("XFB_SW_KYALL_MAX", "2048"))
 
@@ -169,15 +169,17 @@ def ky_all_mode(grid_shape=None) -> str:
     """Resolve KY_ALL at trace time: 'off' | 'unroll' | 'loop'.
 
     auto = the unrolled body at <= KYALL_MAX (measured 1.084x at 2048²,
-    bit-identical) and off above it (the 4096² unrolled compile OOM);
-    the loop form is opt-in (XFB_SW_KYALL=loop) pending its hardware
-    A/B."""
+    bit-identical) and the fori_loop form above it: the loop body's
+    ~1/5 MLIR fits the compile-helper host-RAM ceiling that kills the
+    unrolled form at 4096² (hardware 2026-08-20: compiles in 63 s and
+    measures 39.38 ms/step vs 40.02 without — outputs identical to the
+    per-product path, bit-for-bit). XFB_SW_KYALL: auto | 0 | 1 | loop."""
     if KY_ALL == "loop":
         return "loop"
     if KY_ALL == "auto":
         if grid_shape is None:
             return "off"
-        return "unroll" if max(grid_shape) <= KYALL_MAX else "off"
+        return "unroll" if max(grid_shape) <= KYALL_MAX else "loop"
     return "off" if KY_ALL in ("", "0") else "unroll"
 
 

@@ -372,40 +372,78 @@ class ShardedShallowWaterModel:
                 "beta-plane is barotropic/tracer-only: shallow water "
                 "needs the spatially varying f inside curl(f u)/div(f u) "
                 "(config.py beta note)")
-        if cfg.time_scheme != "rk4":
-            raise NotImplementedError(
-                "the sharded SW model integrates with RK4; ETDRK4 "
-                "(models/etdrk4.py) is single-device for now — its 3x3 "
-                "phi tables shard trivially along x like every other "
-                "spectral table, so extending it is plumbing, not math")
         (t, fwd, inv, tspec, spec1, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
         sspec = sw.SWState(zeta_hat=spec1, div_hat=spec1, eta_hat=spec1)
 
         nu4 = float(cfg.nu4)
-
-        def step_local(tl, s, src):
-            return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
-                               fwd=fwd, inv=inv, r_drag=r_drag, nu4=nu4)
-
         vma = fft_impl == "xla"
-        step_sm = shard_map(step_local, mesh=mesh,
-                            in_specs=(tspec, sspec, pspec),
-                            out_specs=sspec, check_vma=vma)
-        step = jax.jit(functools.partial(step_sm, t))
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment(s, src, n_steps: int):
-            def seg_local(tl, s, src):
-                def body(state, _):
-                    return sw.rk4_step(tl, state, src, dt, f, grav, nu, H,
-                                       g, fwd=fwd, inv=inv,
-                                       r_drag=r_drag, nu4=nu4), None
-                out, _ = jax.lax.scan(body, s, None, length=n_steps)
-                return out
-            return shard_map(seg_local, mesh=mesh,
-                             in_specs=(tspec, sspec, pspec),
-                             out_specs=sspec, check_vma=vma)(t, s, src)
+        if cfg.time_scheme == "etdrk4":
+            # ETDRK4 sharded: the per-mode 3x3 phi tables are spectral
+            # planes like lap/mask, so each (3, 3, nx, hny[pad]) table
+            # shards with two leading replicated axes on top of the
+            # lap spec (pencil/xpencil layouts pad the half axis; the
+            # tables pad to match — mask pads 0, so pad modes get
+            # identity propagators and the padded state stays zero).
+            # N runs the decomp's distributed transforms inside
+            # shard_map exactly like the RK4 path.
+            from ..models import etdrk4 as etd_mod
+            hny = cfg.ny // 2 + 1
+            etabs = etd_mod.build_tables(
+                cfg, dt, hpad=hpad if hpad and hpad > hny else 0)
+            tab1 = P(None, None, *tuple(tspec.lap))
+            espec = etd_mod.SWEtdTables(*([tab1] * 6))
+
+            def estep_local(et, tl, s, src):
+                return etd_mod.etdrk4_step(tl, et, s, src, g,
+                                           fwd=fwd, inv=inv)
+
+            estep_sm = shard_map(estep_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(estep_sm, etabs, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(s, src, n_steps: int):
+                def seg_local(et, tl, s, src):
+                    def body(state, _):
+                        return etd_mod.etdrk4_step(
+                            tl, et, state, src, g, fwd=fwd,
+                            inv=inv), None
+                    out, _ = jax.lax.scan(body, s, None,
+                                          length=n_steps)
+                    return out
+                return shard_map(seg_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec,
+                                 check_vma=vma)(etabs, t, s, src)
+        else:
+            def step_local(tl, s, src):
+                return sw.rk4_step(tl, s, src, dt, f, grav, nu, H, g,
+                                   fwd=fwd, inv=inv, r_drag=r_drag,
+                                   nu4=nu4)
+
+            step_sm = shard_map(step_local, mesh=mesh,
+                                in_specs=(tspec, sspec, pspec),
+                                out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(step_sm, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(s, src, n_steps: int):
+                def seg_local(tl, s, src):
+                    def body(state, _):
+                        return sw.rk4_step(tl, state, src, dt, f, grav,
+                                           nu, H, g, fwd=fwd, inv=inv,
+                                           r_drag=r_drag,
+                                           nu4=nu4), None
+                    out, _ = jax.lax.scan(body, s, None,
+                                          length=n_steps)
+                    return out
+                return shard_map(seg_local, mesh=mesh,
+                                 in_specs=(tspec, sspec, pspec),
+                                 out_specs=sspec, check_vma=vma)(t, s,
+                                                                 src)
 
         def diags_local(tl, s):
             u_hat, v_hat = sw.sw_velocities(tl, s.zeta_hat, s.div_hat)
