@@ -239,6 +239,19 @@ def test_sharded_etdrk4_matches_single(decomp):
                                    rtol=0, atol=5e-5)
 
 
+def test_non_sw_families_refuse_etdrk4():
+    """The scheme is SW-only (the other families' linear parts carry no
+    stiff wave speed); a silent fall-back to RK4 would misreport the
+    integrator actually used."""
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+    from xlab_fftbarotropic_tpu.models.tracer import TracerModel
+    cfg = _cfg(time_scheme="etdrk4")
+    with pytest.raises(NotImplementedError, match="shallow-water-only"):
+        BarotropicModel.build(cfg)
+    with pytest.raises(NotImplementedError, match="shallow-water-only"):
+        TracerModel.build(cfg, kappa=1.0)
+
+
 def test_adjoint_through_etdrk4():
     """jax.grad through an ETDRK4 SW rollout (adjoint.make_rollout
     picks the scheme up from the config) is finite and matches a

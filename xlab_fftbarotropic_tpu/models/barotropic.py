@@ -393,6 +393,13 @@ class BarotropicModel:
     @classmethod
     def build(cls, cfg: ModelConfig,
               tables: Optional[SpectralTables] = None) -> "BarotropicModel":
+        if cfg.time_scheme != "rk4":
+            raise NotImplementedError(
+                f"time_scheme={cfg.time_scheme!r} is shallow-water-only "
+                "(models/etdrk4.py): the barotropic linear operator is "
+                "a plain viscous decay with no stiff wave speed — RK4's "
+                "dt limit is already advective, so an exponential "
+                "integrator buys nothing here")
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)

@@ -191,6 +191,11 @@ class TracerModel:
     @classmethod
     def build(cls, cfg: ModelConfig, kappa: float = 0.0,
               tables: Optional[SpectralTables] = None) -> "TracerModel":
+        if cfg.time_scheme != "rk4":
+            raise NotImplementedError(
+                f"time_scheme={cfg.time_scheme!r} is shallow-water-only "
+                "(models/etdrk4.py; the tracer family's linear part is "
+                "plain diffusion — RK4's dt limit is already advective)")
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)

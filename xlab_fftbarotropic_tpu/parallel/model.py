@@ -196,6 +196,10 @@ class ShardedBarotropicModel:
               axis: str = AXIS,
               fft_impl: str = "xla",
               decomp: str = "slab") -> "ShardedBarotropicModel":
+        if cfg.time_scheme != "rk4":
+            raise NotImplementedError(
+                "time_scheme is shallow-water-only (models/barotropic.py"
+                " build note)")
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
@@ -554,6 +558,10 @@ class ShardedTracerModel:
               kappa: float = 0.0) -> "ShardedTracerModel":
         from ..models import tracer as tr
 
+        if cfg.time_scheme != "rk4":
+            raise NotImplementedError(
+                "time_scheme is shallow-water-only (models/tracer.py "
+                "build note)")
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
         r_drag = float(cfg.r_drag)
