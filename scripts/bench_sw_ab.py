@@ -137,9 +137,15 @@ def main():
         elif base.startswith("etdrk4"):
             # exponential integrator (models/etdrk4.py): dt may carry
             # as a suffix multiple of args.dt, e.g. etdrk4x10 = 10x;
-            # '-xlafft' pins the XLA transform path for N
+            # '-xlafft' pins the XLA transform path for N; '-fuse'
+            # turns on the COMBINE matvec-epilogue stage fusion
             spec2 = base[len("etdrk4"):]
             be = "pallas"
+            if spec2.endswith("-fuse"):
+                os.environ["XFB_SW_ETD_FUSE"] = "1"
+                spec2 = spec2[:-len("-fuse")]
+            else:
+                os.environ.pop("XFB_SW_ETD_FUSE", None)
             if spec2.endswith("-xlafft"):
                 be, spec2 = "xla", spec2[:-len("-xlafft")]
             mult = float(spec2[1:]) if spec2.startswith("x") else 1.0

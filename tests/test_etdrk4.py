@@ -239,6 +239,48 @@ def test_sharded_etdrk4_matches_single(decomp):
                                    rtol=0, atol=5e-5)
 
 
+def test_etd_fuse_matches_unfused():
+    """The COMBINE matvec-epilogue fusion (stage = z0 + scale*(Q @ N),
+    ops/pallas_sw.py:_combine_mv_kernel) reproduces the unfused plane
+    step at float32 round-off: same-input tendencies are bit-identical,
+    the whole-state step difference is ~5.6e-7 (the cn stage
+    reconstructs Q n1 as an - e2u — exact algebra, state-scale
+    cancellation round-off). Compared per whole state: a symmetric IC
+    makes individual imaginary planes near-zero, where per-plane
+    relative metrics explode on round-off."""
+    from xlab_fftbarotropic_tpu.models import shallow_water as swm
+    from xlab_fftbarotropic_tpu.models import etdrk4 as etd_mod
+    from xlab_fftbarotropic_tpu.ops import pallas_sw as psw
+    cfg = ModelConfig(nx=128, ny=128)
+    dtb = 2 * max_stable_dt(cfg)
+    t = SpectralTables.from_config(cfg)
+    tabs = etd_mod.build_tables(cfg, dtb)
+    m = ShallowWaterModel.build(cfg.replace(fft_backend="xla"))
+    p = swm._state_to_planes(
+        m.geostrophic_init(jnp.asarray(makefields.gaussian(cfg))))
+    es = psw.eta_pair_scale(p)
+    g = cfg.grid_shape
+    a = etd_mod.etdrk4_step_planes(t, tabs, p, None, g, es, fuse=False)
+    b = etd_mod.etdrk4_step_planes(t, tabs, p, None, g, es, fuse=True)
+    num = sum(float(jnp.linalg.norm(x - y)) ** 2
+              for x, y in zip(a, b)) ** 0.5
+    den = sum(float(jnp.linalg.norm(x)) ** 2 for x in a) ** 0.5
+    assert num / den < 1e-5, num / den
+    # the tendency outputs themselves are bit-identical given the same
+    # input (the epilogue only ADDS outputs)
+    def N(q, mv=None):
+        u, v, zeta, eta_s = psw.inverse_quad_planes(
+            *q, t.kx, t.ky, t.rlap, g, eta_scale=es)
+        return psw.forward_tendencies(
+            u, v, zeta, eta_s, q, None, t.kx, t.ky, t.lap, t.mask,
+            0.0, 0.0, 0.0, 0.0, g, eta_scale=es, mv_axpy=mv)
+    e2u = etd_mod._matvec_planes(tabs.E2, p)
+    plain = N(p)
+    fused_t, _ = N(p, mv=(e2u, tabs.Q, 1.0, True))
+    for x, y in zip(plain, fused_t):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_non_sw_families_refuse_etdrk4():
     """The scheme is SW-only (the other families' linear parts carry no
     stiff wave speed); a silent fall-back to RK4 would misreport the

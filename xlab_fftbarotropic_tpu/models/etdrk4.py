@@ -278,9 +278,23 @@ def _addp(a, b):
     return tuple(x + y for x, y in zip(a, b))
 
 
+def etd_fuse_on() -> bool:
+    """XFB_SW_ETD_FUSE: fuse the ETDRK4 stage constructions
+    (stage = z0 + scale*(Q @ N)) into the COMBINE kernel
+    (ops/pallas_sw.py:_combine_mv_kernel) so the tendency is consumed
+    in VMEM and N(cn) never lands in HBM. Default ON (hardware A/B
+    2026-08-20, 4096^2 fast mode, dt=7.5: 53.65 -> 49.18 ms/step,
+    1.091x, checksum identical at all printed digits — the deleted
+    passes sat on the serial critical path, the KX+VISC lesson); the
+    epilogue's extra operands needed the scoped-VMEM budget raised to
+    112 MB (pallas_fft._compiler_params)."""
+    import os
+    return os.environ.get("XFB_SW_ETD_FUSE", "1") not in ("", "0")
+
+
 def etdrk4_step_planes(t: SpectralTables, tabs: SWEtdTables, p,
                        src_planes, grid_shape: Tuple[int, int],
-                       eta_scale):
+                       eta_scale, fuse=None):
     """ETDRK4 on the six-float32-plane SW state — the fused Pallas
     plane-stepper path (models/shallow_water.py:rk4_step_planes's
     transform machinery, reused unchanged): N is inverse_quad_planes +
@@ -289,17 +303,43 @@ def etdrk4_step_planes(t: SpectralTables, tabs: SWEtdTables, p,
     products pure nonlinear fluxes; nu=H=0 turns COMBINE into the
     dealiased nonlinear tendency). Unlike the RK4 plane stepper this
     path also carries r_drag/nu4 — they live in the L tables, not the
-    kernels."""
+    kernels.
+
+    fuse=True (etd_fuse_on) folds each stage construction into the
+    COMBINE epilogue via mv_axpy. The cn stage reconstructs Q n1 as
+    an - e2u (exact algebraically; in float32 it trades eps*|Q n1| for
+    eps*|state| cancellation error — still round-off at state scale),
+    so cn = (E2 an - an + e2u) + 2 Q n3 rides one epilogue too, and
+    the final stage consumes N(cn) in VMEM (never written to HBM)."""
     from ..ops import pallas_sw as psw
 
     es = eta_scale
+    if fuse is None:
+        fuse = etd_fuse_on()
 
-    def N(q):
+    def N(q, mv=None):
         u, v, zeta, eta_s = psw.inverse_quad_planes(
             *q, t.kx, t.ky, t.rlap, grid_shape, eta_scale=es)
-        return psw.forward_tendencies(
+        out = psw.forward_tendencies(
             u, v, zeta, eta_s, q, src_planes, t.kx, t.ky, t.lap,
-            t.mask, 0.0, 0.0, 0.0, 0.0, grid_shape, eta_scale=es)
+            t.mask, 0.0, 0.0, 0.0, 0.0, grid_shape, eta_scale=es,
+            mv_axpy=mv)
+        return out
+
+    if fuse:
+        e2u = _matvec_planes(tabs.E2, p)
+        n1, an = N(p, mv=(e2u, tabs.Q, 1.0, True))
+        n2, bn = N(an, mv=(e2u, tabs.Q, 1.0, True))
+        # z0 for cn: E2 an - an + e2u (one fused XLA chain); Q n1
+        # reconstructed as an - e2u
+        z0c = tuple(x - y + z for x, y, z in
+                    zip(_matvec_planes(tabs.E2, an), an, e2u))
+        n3, cn = N(bn, mv=(z0c, tabs.Q, 2.0, True))
+        base = _addp(_matvec_planes(tabs.E, p),
+                     _matvec_planes(tabs.F1, n1))
+        base = _addp(base, _matvec_planes(tabs.F2, _addp(n2, n3)))
+        _, out = N(cn, mv=(base, tabs.F3, 1.0, False))
+        return out
 
     n1 = N(p)
     e2u = _matvec_planes(tabs.E2, p)

@@ -73,7 +73,10 @@ BLOCK = int(_os.environ.get("XFB_PALLAS_BLOCK", "128"))
 
 # raise the scoped-VMEM budget above the 16 MB flag default: the fused
 # KA pipeline's live set (in + out + matmul temps) peaks at ~16.04 MB at
-# 4096^2 with BLOCK=128
+# 4096^2 with BLOCK=128. 112 MB (of the v5e core's 128 MB physical
+# VMEM): the ETDRK4 COMBINE+matvec epilogue's extra operands (one
+# (3,3,BLOCK,hny) phi-table block + 6 z0 planes, ~16 MB at 4096^2)
+# measured 101.68 MB total against the previous 100 MB cap.
 _COMPILER_PARAMS = None
 
 
@@ -81,7 +84,7 @@ def _compiler_params():
     global _COMPILER_PARAMS
     if _COMPILER_PARAMS is None:
         _COMPILER_PARAMS = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=112 * 1024 * 1024)
     return _COMPILER_PARAMS
 
 # matmul precision inside kernels; HIGHEST = float32-accurate;

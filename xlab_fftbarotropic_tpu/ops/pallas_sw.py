@@ -592,16 +592,51 @@ def _combine_axpy_kernel(nu: float, H: float, has_src: bool, split,
         outs[6 + p][:] = z0[p][:] + coef * tend[p]
 
 
+def _combine_mv_kernel(nu: float, H: float, has_src: bool, split,
+                       scale: float, emit_tend: bool, *refs):
+    """COMBINE fused with an ETDRK4 stage construction: writes
+    stage = z0 + scale * (Q @ tendency) with Q the per-mode 3x3
+    phi-coefficient block (models/etdrk4.py) — the tendency is consumed
+    in VMEM instead of round-tripping HBM for a separate matvec pass.
+    emit_tend=False drops the tendency outputs entirely (the final
+    ETDRK4 stage never reads N(cn) again — it need not land in HBM)."""
+    n_in = 10 + (2 if has_src else 0) + (2 if split is not None else 0)
+    ins = refs[:n_in]
+    q_ref = refs[n_in]
+    z0 = refs[n_in + 1:n_in + 7]
+    outs = refs[n_in + 7:]
+    ins = _pad_combine_ins(ins, has_src, split)
+    tend = _combine_body(nu, H, has_src, split, *ins)
+    if emit_tend:
+        for p in range(6):
+            outs[p][:] = tend[p]
+        outs = outs[6:]
+    q = q_ref[:]
+    for i in range(3):
+        qi0 = scale * q[i, 0]
+        qi1 = scale * q[i, 1]
+        qi2 = scale * q[i, 2]
+        outs[2 * i][:] = (z0[2 * i][:] + qi0 * tend[0]
+                          + qi1 * tend[2] + qi2 * tend[4])
+        outs[2 * i + 1][:] = (z0[2 * i + 1][:] + qi0 * tend[1]
+                              + qi1 * tend[3] + qi2 * tend[5])
+
+
 def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
                        kx, ky, lap, mask, f0: float, grav: float,
                        nu: float, H: float, grid_shape, eta_scale=1.0,
-                       axpy=None, store=None):
+                       axpy=None, store=None, mv_axpy=None):
     """Dealiased spectral tendency planes (dz, dd, de) of the SW RHS,
     fully fused: KA_FWD (products + forward x-stages) + KC_SW (forward
     y-stages) + COMBINE (gradients/Laplacians/viscosity/forcing/dealias).
 
     axpy=(z0_planes, coef) fuses the RK stage-state update into COMBINE
     and returns (tendency_planes, z0 + coef*tendency) instead.
+    mv_axpy=(z0_planes, q_table, scale, emit_tend) is the ETDRK4
+    analogue (models/etdrk4.py): the epilogue applies the per-mode 3x3
+    table, returning (tendency_planes, z0 + scale*(Q @ tendency)) —
+    tendency_planes is None when emit_tend=False (the final stage's
+    N(cn) never lands in HBM). Mutually exclusive with axpy.
 
     state_planes: (zr, zi, dr, di, er, ei) of the CURRENT stage state
     (viscosity and the -H*div term use it; the split-linear mode's exact
@@ -752,6 +787,27 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     data += [kx.reshape(nx, 1), ky.reshape(1, hny), lap, mask]
     specs += [kx_spec, ky_spec, row, row]
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
+    if mv_axpy is not None:
+        # ETDRK4 stage fusion: stage = z0 + scale * (Q @ tendency)
+        # (models/etdrk4.py; _combine_mv_kernel note)
+        z0, qtab, scale, emit_tend = mv_axpy
+        q_spec = pl.BlockSpec((3, 3, BLOCK, hny), lambda i: (0, 0, i, 0),
+                              memory_space=pltpu.VMEM)
+        n_out = 12 if emit_tend else 6
+        outs = pl.pallas_call(
+            functools.partial(_combine_mv_kernel, float(nu), float(H),
+                              has_src, split_params, float(scale),
+                              bool(emit_tend)),
+            grid=(pl.cdiv(nx, BLOCK),),
+            in_specs=specs + [q_spec] + [row] * 6,
+            out_specs=(row,) * n_out,
+            out_shape=(plane,) * n_out,
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(*data, qtab, *z0)
+        if emit_tend:
+            return outs[:6], outs[6:]
+        return None, outs
     if axpy is None:
         return pl.pallas_call(
             functools.partial(_combine_kernel, float(nu), float(H),
