@@ -68,6 +68,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--model", default="barotropic",
+                    choices=["barotropic", "sw", "sw-etdrk4"])
+    ap.add_argument("--dt", type=float, default=None)
     ap.add_argument("--mm", default="fast", choices=["fast", "fp32"])
     ap.add_argument("--trace-dir", default="/tmp/xfb_trace")
     ap.add_argument("--top", type=int, default=30)
@@ -88,20 +91,36 @@ def main():
     progress(f"warm-up fetch {time.perf_counter() - t0:.1f}s")
 
     cfg = ModelConfig(nx=args.nx, ny=args.nx)
-    model = BarotropicModel.build(cfg)
-    z = model.init_state(makefields.gaussian(cfg))
-    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    if args.model == "barotropic":
+        if args.dt is not None:
+            cfg = cfg.replace(dt=args.dt)
+        model = BarotropicModel.build(cfg)
+        z = model.init_state(makefields.gaussian(cfg))
+        src = jnp.zeros(cfg.grid_shape, jnp.float32)
+        checksum = lambda o: float(jnp.max(jnp.abs(o)))
+    else:
+        from xlab_fftbarotropic_tpu.models.shallow_water import (
+            ShallowWaterModel, max_stable_dt)
+        scheme = "etdrk4" if args.model.endswith("etdrk4") else "rk4"
+        dflt = (7.5 if scheme == "etdrk4"
+                else 0.9 * max_stable_dt(cfg))
+        cfg = cfg.replace(dt=args.dt if args.dt is not None else dflt,
+                          time_scheme=scheme)
+        model = ShallowWaterModel.build(cfg)
+        z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+        src = None
+        checksum = lambda o: float(jnp.max(jnp.abs(o.zeta_hat)))
 
     progress("compiling segment")
     out = model.segment(z, src, args.steps)
-    c_w = float(jnp.max(jnp.abs(out)))
+    c_w = checksum(out)
     progress("warm, checksum", c_w)
 
     os.makedirs(args.trace_dir, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
         out = model.segment(z, src, args.steps)
-        c_t = float(jnp.max(jnp.abs(out)))
+        c_t = checksum(out)
     dt = time.perf_counter() - t0
     assert c_t == c_w, "nondeterministic segment"
     ms = dt / args.steps * 1e3
