@@ -4,7 +4,8 @@ Capability the reference only promised: main-shallow-water.cpp is a misnomer
 that still integrates the 2-D barotropic vorticity equation
 (/root/reference/TODO.md:5 "Implement real shallow water system"; SURVEY.md
 C6). This is the real thing, designed TPU-first: prognostic half-spectrum
-state (zeta_hat, div_hat, eta_hat), the whole RK4 step a pure jittable
+state (zeta_hat, div_hat, eta_hat), the whole time step (RK4, or the
+exact-linear ETDRK4 of models/etdrk4.py via --time-scheme) a pure jittable
 function reusing the barotropic package's spectral tables, FFT backends
 (single-device or distributed), and dealiasing contract.
 

@@ -1362,7 +1362,10 @@ FUSETAIL = _os.environ.get("XFB_BT_FUSETAIL", "auto")
 
 def fusetail_on() -> bool:
     if FUSETAIL == "auto":
-        return False          # pending hardware A/B (round-4 probe)
+        # measured NEUTRAL (2026-08-20, 18.59 vs 18.49 ms/step — the
+        # tail's DMA was already hidden behind the next step's KA
+        # dispatch, so fusing buys only the launch); auto stays off
+        return False
     return FUSETAIL not in ("", "0")
 
 
