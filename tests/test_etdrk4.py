@@ -214,16 +214,20 @@ def test_plane_path_carries_drag():
     assert _rel(b.eta_hat, a.eta_hat) < 3e-4
 
 
-@pytest.mark.parametrize("decomp", ["slab", "xpencil"])
+@pytest.mark.parametrize("decomp", ["slab", "xpencil", "pencil"])
 def test_sharded_etdrk4_matches_single(decomp):
-    """Sharded ETDRK4 (slab and padded-xpencil table layouts) matches
-    the single-device ETDRK4 trajectory on the 8-virtual-device mesh,
-    at a dt above the RK4 gravity-wave bound."""
+    """Sharded ETDRK4 (slab, padded-xpencil, and 2-D pencil table
+    layouts) matches the single-device ETDRK4 trajectory on the
+    8-virtual-device mesh, at a dt above the RK4 gravity-wave bound."""
     from xlab_fftbarotropic_tpu.parallel import (
         ShardedShallowWaterModel, make_mesh)
     cfg = ModelConfig(nx=64, ny=64, time_scheme="etdrk4")
     cfg = cfg.replace(dt=2 * max_stable_dt(cfg))
-    mesh = make_mesh(jax.devices())
+    if decomp == "pencil":
+        from xlab_fftbarotropic_tpu.parallel import pencil
+        mesh = pencil.make_pencil_mesh((2, 4), jax.devices())
+    else:
+        mesh = make_mesh(jax.devices())
     vort0 = jnp.asarray(makefields.gaussian(cfg, zeta0=1e-5))
     single = ShallowWaterModel.build(cfg)
     multi = ShardedShallowWaterModel.build(cfg, mesh, decomp=decomp)
