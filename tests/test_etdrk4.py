@@ -285,6 +285,27 @@ def test_etd_fuse_matches_unfused():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_checkpoint_scheme_mismatch_rejected(tmp_path):
+    """time_scheme is in the restart hash (the two schemes produce
+    different trajectories at big dt — resuming one from the other
+    would silently splice them), so a resume across schemes fails
+    loudly while a same-scheme resume round-trips exactly."""
+    from xlab_fftbarotropic_tpu.io.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+    cfg = _cfg(time_scheme="etdrk4")
+    m = ShallowWaterModel.build(cfg)
+    s = m.init_state(jnp.asarray(makefields.gaussian(cfg)))
+    packed = np.stack([np.asarray(a) for a in s])
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, cfg, packed, step=7, kind="sw")
+    got, step, _ = load_checkpoint(p, cfg=cfg, kind="sw")
+    assert step == 7
+    np.testing.assert_array_equal(got, packed)
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_checkpoint(p, cfg=cfg.replace(time_scheme="rk4"),
+                        kind="sw")
+
+
 def test_non_sw_families_refuse_etdrk4():
     """The scheme is SW-only (the other families' linear parts carry no
     stiff wave speed); a silent fall-back to RK4 would misreport the
