@@ -70,6 +70,9 @@ _SLOW_NODEID_PATTERNS = (
     "test_pallas_sw.py::test_model_segment_trajectory_pin",
     "test_pallas_sw.py::test_rk4_step_planes_matches_rk4_step",
     "test_pallas_sw.py::test_bf16_transforms_corrupt_sw_balance",
+    "test_etdrk4.py::test_etd_fuse_matches_unfused",
+    "test_etdrk4.py::test_plane_path_matches_xla_path",
+    "test_etdrk4.py::test_plane_path_carries_drag",
     "test_pallas_tracer.py::test_tracer_planes_match_xla",
     "test_pallas_tracer.py::test_tracer_planes_forced_drag_beta_nu4",
     "test_pallas_diff.py::test_rollout_gradient_pallas_vs_xla",
