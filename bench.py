@@ -52,7 +52,33 @@ def measure_tpu(nx: int, steps: int, model_kind: str = "barotropic"):
     from xlab_fftbarotropic_tpu.ic import makefields
 
     cfg = ModelConfig(nx=nx, ny=nx)
-    if model_kind in ("shallow-water", "sw"):
+    extra = {}
+    if model_kind == "sw-etdrk4":
+        # the round-4 flagship: exponential integration at a dt far
+        # above the gravity-wave CFL bound (BASELINE.md ETDRK4 entry:
+        # 8.9x the bound, soak-stable for 1000 steps at 4096^2 with
+        # flat conservation scalars). dt pinned to 7.5 s at 4096^2
+        # (the ledgered operating point) and scaled as 8.85x the bound
+        # elsewhere. phi tables come through the disk cache
+        # (models/etdrk4.py:build_tables_cached) — the JSON discloses
+        # whether this process built or loaded them.
+        from xlab_fftbarotropic_tpu.models import etdrk4 as etd_mod
+        from xlab_fftbarotropic_tpu.models.shallow_water import (
+            ShallowWaterModel, max_stable_dt)
+        bound = max_stable_dt(cfg)
+        dt_big = 7.5 if nx == 4096 else round(8.85 * bound, 3)
+        cfg = cfg.replace(dt=dt_big, time_scheme="etdrk4")
+        key = etd_mod.tables_cache_key(cfg, dt_big, kind="sw")
+        cdir = etd_mod._cache_dir(cfg)
+        cached = bool(cdir and (cdir / f"sw_etd_{key}.npy").exists())
+        t_b = time.perf_counter()
+        model = ShallowWaterModel.build(cfg)
+        extra = {"dt_multiple_of_rk4_bound": round(dt_big / bound, 2),
+                 "etd_tables": "cache" if cached else "built",
+                 "build_s": round(time.perf_counter() - t_b, 1)}
+        z = model.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
+        src = None
+    elif model_kind in ("shallow-water", "sw"):
         from xlab_fftbarotropic_tpu.models.shallow_water import (
             ShallowWaterModel, max_stable_dt)
         # the default dt=3 s violates the RK4 gravity-wave CFL bound at
@@ -90,7 +116,10 @@ def measure_tpu(nx: int, steps: int, model_kind: str = "barotropic"):
     c_t = checksum(z_t)
     dt = time.perf_counter() - t0
     assert c_t == c_w, "nondeterministic segment result"
-    return nx * nx * steps / dt, dt / steps * 1e3, float(cfg.dt)
+    ms = dt / steps * 1e3
+    if extra:
+        extra["sim_s_per_wall_s"] = round(float(cfg.dt) / ms * 1e3, 1)
+    return nx * nx * steps / dt, ms, float(cfg.dt), extra
 
 
 def measure_oracle(nx: int, steps: int) -> float:
@@ -118,7 +147,7 @@ def main():
     ap.add_argument("--oracle-steps", type=int, default=10)
     ap.add_argument("--model", default="all",
                     choices=["all", "barotropic", "sw", "shallow-water",
-                             "tracer"],
+                             "tracer", "sw-etdrk4"],
                     help="'all' (default) measures every family in this "
                          "one process and reports them in a 'families' "
                          "field (the barotropic headline stays the "
@@ -147,18 +176,22 @@ def main():
         if mod is not None:
             mod.MM_MODE = "default"
 
-    kinds = (["barotropic", "sw", "tracer"] if args.model == "all"
-             else [args.model])
+    kinds = (["barotropic", "sw", "tracer", "sw-etdrk4"]
+             if args.model == "all" else [args.model])
     families = {}
     for kind in kinds:
-        gps_k, ms_k, dt_k = measure_tpu(args.nx, args.steps, kind)
-        key = "sw" if kind == "shallow-water" else kind
+        gps_k, ms_k, dt_k, extra = measure_tpu(args.nx, args.steps, kind)
+        key = ("sw" if kind == "shallow-water"
+               else "etdrk4" if kind == "sw-etdrk4" else kind)
         families[key] = {"gp_per_s": round(gps_k, 1),
-                         "ms_per_step": round(ms_k, 2), "dt": dt_k}
+                         "ms_per_step": round(ms_k, 2), "dt": dt_k,
+                         **extra}
         print(f"# {key}: {ms_k:.2f} ms/step ({gps_k / 1e6:.1f} M gp/s)",
               file=sys.stderr, flush=True)
     head = kinds[0]     # barotropic headline when measuring all
-    gps = families["sw" if head == "shallow-water" else head]["gp_per_s"]
+    head_key = ("sw" if head == "shallow-water"
+                else "etdrk4" if head == "sw-etdrk4" else head)
+    gps = families[head_key]["gp_per_s"]
     try:
         base = measure_oracle(args.oracle_nx, args.oracle_steps)
     except Exception as e:  # oracle failure must not kill the bench
@@ -166,7 +199,8 @@ def main():
         base = None
 
     tag = ("" if head == "barotropic"
-           else "_tracer" if head == "tracer" else "_sw")
+           else "_tracer" if head == "tracer"
+           else "_etdrk4" if head == "sw-etdrk4" else "_sw")
     out = {
         "metric": f"rk4{tag}_grid_points_per_s_per_chip_{args.nx}x{args.nx}",
         "value": gps,

@@ -21,6 +21,16 @@ import jax  # noqa: E402
 # any backend initialization so tests run on the 8 virtual CPU devices.
 jax.config.update("jax_platforms", "cpu")
 
+# ETDRK4 phi-table disk cache: without this, every etd model build in
+# the suite would write table files into ./output/etd_cache relative to
+# the test CWD. One shared per-run tmp dir keeps the repo clean AND
+# lets repeated same-config builds across tests hit the cache. Tests of
+# the cache itself override the env per-test (tests/test_etd_scalar.py).
+if "XFB_ETD_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["XFB_ETD_CACHE"] = tempfile.mkdtemp(prefix="xfb_etd_")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -306,16 +306,17 @@ def test_checkpoint_scheme_mismatch_rejected(tmp_path):
                         kind="sw")
 
 
-def test_non_sw_families_refuse_etdrk4():
-    """The scheme is SW-only (the other families' linear parts carry no
-    stiff wave speed); a silent fall-back to RK4 would misreport the
-    integrator actually used."""
+def test_unknown_time_scheme_rejected():
+    """Every family rejects an unknown scheme loudly (a silent RK4
+    fall-back would misreport the integrator actually used). The
+    etdrk4 scheme itself is supported by ALL spectral families since
+    round 5 — scalar-family coverage lives in tests/test_etd_scalar.py."""
     from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
     from xlab_fftbarotropic_tpu.models.tracer import TracerModel
-    cfg = _cfg(time_scheme="etdrk4")
-    with pytest.raises(NotImplementedError, match="shallow-water-only"):
+    cfg = _cfg(time_scheme="leapfrog")
+    with pytest.raises(ValueError, match="time_scheme"):
         BarotropicModel.build(cfg)
-    with pytest.raises(NotImplementedError, match="shallow-water-only"):
+    with pytest.raises(ValueError, match="time_scheme"):
         TracerModel.build(cfg, kappa=1.0)
 
 

@@ -99,16 +99,21 @@ class ModelConfig:
     mean_depth: float = 1000.0
     # checkpoint cadence in steps; 0 disables
     checkpoint_step: int = 0
-    # Time integrator (shallow-water only; barotropic/tracer are RK4):
+    # Time integrator (all spectral families):
     #   'rk4'    — classic explicit RK4, the reference's scheme
     #              (main.cpp:286-317); dt capped by the gravity-wave
-    #              CFL sqrt(gH)*k_max (0.847 s at 4096^2 defaults).
+    #              CFL sqrt(gH)*k_max for SW (0.847 s at 4096^2
+    #              defaults) and by nu/nu4 stiffness for hyperviscous
+    #              barotropic/tracer runs.
     #   'etdrk4' — exponential ETDRK4 (models/etdrk4.py): the per-mode
-    #              3x3 linear operator (Coriolis/gravity/mass/viscous)
+    #              linear operator — the 3x3 Coriolis/gravity/mass/
+    #              viscous block for SW, the scalar
+    #              nu*lap - r - nu4*lap^2 (+ i*beta*kx*rlap) for
+    #              barotropic, plus kappa*lap for the tracer —
     #              integrated EXACTLY via precomputed phi-function
     #              tables; only the advective CFL of the nonlinear
-    #              terms remains, typically an order of magnitude
-    #              looser. 4th-order in dt on the nonlinear terms.
+    #              terms remains (utils/guards.py:ETD_CFL_LIMIT).
+    #              4th-order in dt on the nonlinear terms.
     time_scheme: str = "rk4"
     # FFT implementation for the single-device hot path:
     #   'auto'   — 'pallas' on TPU for supported grids, else 'xla'

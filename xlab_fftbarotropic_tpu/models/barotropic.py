@@ -167,7 +167,11 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
     batched irfft2 instead was measured 21% SLOWER at 4096^2 — XLA's
     batched FFT lowering pipelines worse than independent transforms.)
     """
-    lvort_hat = sp.laplacian(t, zeta_hat)            # main.cpp:148
+    # nu == 0 is a static trace-time branch (the ETDRK4 N carries all
+    # linear terms in its tables); nu != 0 traces the exact reference
+    # expression
+    lvort_hat = sp.laplacian(t, zeta_hat) if nu != 0.0 or nu4 != 0.0 \
+        else None                                    # main.cpp:148
     if deriv_quad is not None:
         # fused pipeline: one read of zeta_hat, no derivative spectra in
         # HBM (ops/pallas_fft.py:derivative_quad)
@@ -196,7 +200,8 @@ def tendency(t: SpectralTables, zeta_hat: jax.Array, src: jax.Array,
         dvdy = dvdy + beta
     dvortdt = -u * dvdx - v * dvdy + src             # main.cpp:225-227
     dvortdt_hat = fwd(dvortdt)                       # main.cpp:237
-    out = dvortdt_hat + lvort_hat * nu               # main.cpp:240-243
+    out = (dvortdt_hat + lvort_hat * nu if nu != 0.0
+           else dvortdt_hat)                         # main.cpp:240-243
     if r_drag != 0.0:
         # boundary-layer feedback (reference TODO.md:11, never
         # implemented there): Ekman/Rayleigh spin-down -r*zeta, applied
@@ -393,13 +398,9 @@ class BarotropicModel:
     @classmethod
     def build(cls, cfg: ModelConfig,
               tables: Optional[SpectralTables] = None) -> "BarotropicModel":
-        if cfg.time_scheme != "rk4":
-            raise NotImplementedError(
-                f"time_scheme={cfg.time_scheme!r} is shallow-water-only "
-                "(models/etdrk4.py): the barotropic linear operator is "
-                "a plain viscous decay with no stiff wave speed — RK4's "
-                "dt limit is already advective, so an exponential "
-                "integrator buys nothing here")
+        if cfg.time_scheme not in ("rk4", "etdrk4"):
+            raise ValueError(f"unknown time_scheme {cfg.time_scheme!r}")
+        etd = cfg.time_scheme == "etdrk4"
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
@@ -415,7 +416,97 @@ class BarotropicModel:
         # constants, which forces a device->host fetch at lowering time —
         # slow, bloats the executable, and unsupported over remote-device
         # tunnels for large buffers.
-        if resolved == "pallas" and use_plane_stepper(g):
+        if etd:
+            # ETDRK4 with per-mode SCALAR phi tables (models/etdrk4.py
+            # scalar-family section): the linear operator
+            # nu*lap - r - nu4*lap^2 (+ i*beta*kx*rlap) is integrated
+            # exactly — only the advective CFL remains, lifting the
+            # nu4-stiffness dt cap. N is the advection-only tendency
+            # (every linear coefficient zero), dealiased per stage;
+            # drag/beta/nu4 live in the tables, so the plane-stepper
+            # lap fold below must NOT apply here.
+            from . import etdrk4 as etd_mod
+            etabs = etd_mod.build_scalar_tables(cfg, dt,
+                                                kind="barotropic")
+            if resolved == "pallas" and use_plane_stepper(g):
+                from ..ops import pallas_fft as _pf
+
+                def _esrc_layout(src):
+                    return jnp.transpose(src) \
+                        if _pf.fwd_yfirst_active() else src
+
+                def _eplane_step(et, t, p, src_l):
+                    yfirst = _pf.fwd_yfirst_active()
+                    fusekb = _pf.fusekb_mode() if yfirst else ""
+
+                    def N(q):
+                        sr, si = q
+                        if fusekb:
+                            return _pf.tendency_yfirst_fusedkb(
+                                sr, si, src_l, t.kx, t.ky, t.rlap,
+                                t.lap, t.mask, 0.0, g, mode=fusekb)
+                        dvdx, dvdy, u, v = _pf.derivative_quad_planes(
+                            sr, si, t.kx, t.ky, t.rlap, g,
+                            ymajor=yfirst)
+                        if yfirst:
+                            return _pf.forward_tendency_yfirst(
+                                u, dvdx, v, dvdy, src_l, t.lap,
+                                t.mask, sr, si, 0.0, g)
+                        return _pf.forward_tendency(
+                            u, dvdx, v, dvdy, src_l, t.lap, t.mask,
+                            sr, si, 0.0, g)
+
+                    def mul(T, q):
+                        return etd_mod.smul_planes(T, q[0], q[1])
+
+                    return etd_mod.etd_scheme(N, mul, et, p)
+
+                @jax.jit
+                def estep_(et, t, zeta_hat, src):
+                    p = _eplane_step(et, t, (jnp.real(zeta_hat),
+                                             jnp.imag(zeta_hat)),
+                                     _esrc_layout(src))
+                    return jax.lax.complex(*p)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, t, zeta_hat, src, n_steps: int):
+                    src_l = _esrc_layout(src)
+
+                    def body(p, _):
+                        return _eplane_step(et, t, p, src_l), None
+                    p, _ = jax.lax.scan(
+                        body, (jnp.real(zeta_hat), jnp.imag(zeta_hat)),
+                        None, length=n_steps)
+                    return jax.lax.complex(*p)
+            else:
+                def _eN(t, zeta_hat, src):
+                    return sp.dealias(t, tendency(
+                        t, zeta_hat, src, nu=0.0, grid_shape=g,
+                        fwd=fwd, inv=inv, inv_pair=inv_pair,
+                        deriv_quad=deriv_quad))
+
+                @jax.jit
+                def estep_(et, t, zeta_hat, src):
+                    return etd_mod.etd_scheme(
+                        functools.partial(_eN, t, src=src),
+                        lambda T, z: T * z, et, zeta_hat)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, t, zeta_hat, src, n_steps: int):
+                    def body(z, _):
+                        return etd_mod.etd_scheme(
+                            functools.partial(_eN, t, src=src),
+                            lambda T, x: T * x, et, z), None
+                    z, _ = jax.lax.scan(body, zeta_hat, None,
+                                        length=n_steps)
+                    return z
+
+            # tables ride as leading jit ARGUMENTS (axon closure rule)
+            step_ = functools.partial(estep_, etabs)
+            segment_ = functools.partial(esegment_, etabs)
+        elif resolved == "pallas" and use_plane_stepper(g):
             # plane-state stepper: complex <-> (re, im) conversion only
             # at the segment boundary (see rk4_step_planes). With the
             # y-first forward order the forcing field is transposed to

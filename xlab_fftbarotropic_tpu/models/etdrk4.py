@@ -173,18 +173,24 @@ def _phi_functions(A: np.ndarray):
     return E, p1, p2, p3
 
 
-def build_tables(cfg: ModelConfig, dt: float, row_chunk: int = 256,
-                 hpad: int = 0) -> SWEtdTables:
-    """Precompute the six ETDRK4 coefficient tables (host numpy,
-    float64, chunked over spectral rows to bound memory at 4096^2;
-    everything derives from the config on host — the device tables are
-    never fetched, see _host_lap_mask)."""
+_TABLE_NAMES = ("E", "E2", "Q", "F1", "F2", "F3")
+
+
+def _build_tables_host(cfg: ModelConfig, dt: float, row_chunk: int = 256,
+                       hpad: int = 0) -> np.ndarray:
+    """The six ETDRK4 coefficient tables as ONE host float32 stack
+    (6, 3, 3, nx, hny[pad]) in (E, E2, Q, F1, F2, F3) order — host
+    numpy float64 math, chunked over spectral rows to bound memory at
+    4096^2; everything derives from the config on host (the device
+    tables are never fetched, see _host_lap_mask). Split from
+    build_tables so the disk cache (build_tables_cached) can persist
+    the stack BEFORE the device upload — a device->host fetch of the
+    1.8 GB 4096^2 tables would trip the axon tunnel limit."""
     L = sw_linear_matrix(cfg, hpad)
     mask = _host_lap_mask(cfg, hpad)[1][..., None, None]
     nx = L.shape[0]
     eye = np.eye(3)
-    outs = {k: np.empty(L.shape, np.float32)
-            for k in ("E", "E2", "Q", "F1", "F2", "F3")}
+    outs = {k: np.empty(L.shape, np.float32) for k in _TABLE_NAMES}
     for i0 in range(0, nx, row_chunk):
         sl = slice(i0, min(i0 + row_chunk, nx))
         A = L[sl] * dt
@@ -203,9 +209,101 @@ def build_tables(cfg: ModelConfig, dt: float, row_chunk: int = 256,
         outs["F3"][sl] = (m * dt * (4.0 * p3 - p2)).astype(np.float32)
     # (nx, hny, 3, 3) -> (3, 3, nx, hny): the matvec reads 9 plane
     # slices; leading matrix axes keep each plane contiguous
-    return SWEtdTables(*(jnp.asarray(np.moveaxis(outs[k], (-2, -1),
-                                                 (0, 1)))
-                         for k in ("E", "E2", "Q", "F1", "F2", "F3")))
+    return np.stack([np.moveaxis(outs[k], (-2, -1), (0, 1))
+                     for k in _TABLE_NAMES])
+
+
+def build_tables(cfg: ModelConfig, dt: float, row_chunk: int = 256,
+                 hpad: int = 0) -> SWEtdTables:
+    """Precompute the six ETDRK4 coefficient tables (module docstring)
+    and upload them. Prefer build_tables_cached for model builds — at
+    4096^2 the host build costs minutes per process and the tables are
+    a pure function of (config numerics, dt, hpad)."""
+    return SWEtdTables(*(jnp.asarray(a)
+                         for a in _build_tables_host(cfg, dt, row_chunk,
+                                                     hpad)))
+
+
+# ---------------------------------------------------------------------------
+# Disk cache for the phi tables. The tables are a pure deterministic
+# function of (linear-operator config fields, dt, hpad) — at 4096^2
+# rebuilding them costs 4-6 minutes of host float64 math per process
+# (BASELINE.md build_plus_compile_s 277-362), which every restart,
+# A/B process and bench run would otherwise pay. Keyed by an explicit
+# field hash (NOT cfg.config_hash(): that also covers total_steps /
+# time_scheme etc. whose change must not invalidate the tables); saved
+# as one raw .npy stack next to the checkpoints (atomic tmp+rename)
+# and mmap-loaded, so a warm start uploads without re-deriving.
+# XFB_ETD_CACHE: unset -> <output_dir>/etd_cache; a path -> that dir;
+# '0'/'' -> disabled.
+# ---------------------------------------------------------------------------
+
+# fields of ModelConfig that enter each family's linear operator
+_SW_L_FIELDS = ("nx", "ny", "lx", "ly", "f", "nu", "r_drag", "nu4",
+                "gravity", "mean_depth", "dealias_rule")
+_BT_L_FIELDS = ("nx", "ny", "lx", "ly", "nu", "r_drag", "nu4", "beta",
+                "dealias_rule")
+
+
+def tables_cache_key(cfg: ModelConfig, dt: float, hpad: int = 0,
+                     kind: str = "sw", kappa: float = 0.0) -> str:
+    import hashlib
+    import json
+    fields = _SW_L_FIELDS if kind == "sw" else _BT_L_FIELDS
+    d = {k: getattr(cfg, k) for k in fields}
+    d.update(dt=float(dt), hpad=int(hpad), kind=kind, version=1)
+    if kind == "tracer":
+        d["kappa"] = float(kappa)
+    return hashlib.sha256(
+        json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _cache_dir(cfg: ModelConfig):
+    import os
+    from pathlib import Path
+    env = os.environ.get("XFB_ETD_CACHE")
+    if env is not None:
+        return None if env in ("", "0") else Path(env)
+    return Path(cfg.output_dir) / "etd_cache"
+
+
+def _cached_stack(cfg: ModelConfig, path_stem: str, builder):
+    """Load the table stack from the cache file, or build + save it.
+    Returns a numpy (or memmap) array; save failures degrade to a
+    warning (the tables themselves are already in hand)."""
+    d = _cache_dir(cfg)
+    if d is None:
+        return builder()
+    path = d / f"{path_stem}.npy"
+    if path.exists():
+        return np.load(path, mmap_mode="r")
+    stack = builder()
+    try:
+        import os
+        import tempfile
+        d.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npy")
+        os.close(fd)
+        np.save(tmp, stack)   # .npy suffix -> saved in place
+        os.replace(tmp, path)
+    except OSError as e:           # disk full / read-only cache dir
+        import warnings
+        warnings.warn(f"ETD table cache save failed ({e}); continuing "
+                      "with the freshly built tables", stacklevel=2)
+    return stack
+
+
+def build_tables_cached(cfg: ModelConfig, dt: float,
+                        row_chunk: int = 256,
+                        hpad: int = 0) -> SWEtdTables:
+    """build_tables through the disk cache: a second process with the
+    same (config numerics, dt, hpad) loads the 1.8 GB 4096^2 stack in
+    seconds instead of re-deriving it for minutes."""
+    key = tables_cache_key(cfg, dt, hpad, kind="sw")
+    stack = _cached_stack(
+        cfg, f"sw_etd_{key}",
+        lambda: _build_tables_host(cfg, dt, row_chunk, hpad))
+    return SWEtdTables(*(jnp.asarray(stack[i]) for i in range(6)))
 
 
 def _matvec(T: jax.Array, s: "swm.SWState") -> "swm.SWState":
@@ -356,6 +454,186 @@ def etdrk4_step_planes(t: SpectralTables, tabs: SWEtdTables, p,
                 _matvec_planes(tabs.F1, n1))
     out = _addp(out, _matvec_planes(tabs.F2, _addp(n2, n3)))
     return _addp(out, _matvec_planes(tabs.F3, n4))
+
+
+# ---------------------------------------------------------------------------
+# Scalar families (barotropic, tracer): the linear operator of the
+# barotropic vorticity equation — and of the tracer's diffusion — is a
+# per-mode SCALAR,
+#
+#     L(k) = nu*lap - r_drag - nu4*lap^2  [+ i*beta*kx/ lap]   (flow)
+#     L(k) = kappa*lap                                          (tracer q)
+#
+# (lap = -(kx^2+ky^2); the beta-Rossby term is the linearization of
+# -beta*v with v_hat = i*kx*rlap*zeta_hat, so exponential integration
+# makes Rossby dispersion EXACT), i.e. the 3x3 machinery above
+# collapses to 1x1: phi tables are plane-shaped elementwise
+# multipliers, real float32 on the f-plane and complex64 under beta.
+# This removes the nu/nu4 stiffness bound on dt (RK4's real-axis limit
+# |L|dt <= 2.785 binds hard for hyperviscous high-resolution runs) and
+# leaves only the advective CFL, exactly like the SW case. N is the
+# existing advection-only tendency (models/barotropic.py:tendency with
+# nu=r=nu4=beta=0), dealiased per stage; the dealias contract carries
+# over via the same identity-outside-mask blending as the SW tables.
+# No reference counterpart (the reference is RK4-only,
+# /root/reference/src/main.cpp:288-317).
+# ---------------------------------------------------------------------------
+
+
+class ScalarEtdTables(NamedTuple):
+    """Per-mode scalar ETDRK4 tables: each (nx, hny[pad]) for the
+    barotropic family or (2, nx, hny[pad]) stacked (flow, tracer) for
+    the tracer family; float32, or complex64 when beta != 0. Q/F1..F3
+    carry the dt factor. Passed to jitted steps as ARGUMENTS."""
+    E: jax.Array
+    E2: jax.Array
+    Q: jax.Array
+    F1: jax.Array
+    F2: jax.Array
+    F3: jax.Array
+
+
+def scalar_linear_operator(cfg: ModelConfig, kind: str = "barotropic",
+                           kappa: float = 0.0,
+                           hpad: int = 0) -> np.ndarray:
+    """Host float64/complex128 per-mode linear operator: (nx, hny) for
+    'barotropic', (2, nx, hny) stacked (flow, q) for 'tracer' —
+    matching the linear terms of models/barotropic.py:tendency /
+    models/tracer.py:tendency exactly (positive-Nyquist gradients,
+    multiply-form inverse Laplacian with mean-mode passthrough)."""
+    lap, _ = _host_lap_mask(cfg, hpad)
+    a = (float(cfg.nu) * lap - float(cfg.r_drag)
+         - float(cfg.nu4) * lap * lap)
+    beta = float(cfg.beta)
+    if beta != 0.0:
+        from ..ops import spectral as sp
+        kx = np.asarray(sp.wavenumbers_x(cfg.nx, cfg.lx), np.float64)
+        # multiply-form inversion: psi = rlap * Z, rlap(0,0) = 1
+        # (irrelevant to the beta term — kx = 0 there)
+        rlap = np.where(lap != 0.0, 1.0 / np.where(lap != 0.0, lap, 1.0),
+                        1.0)
+        # -beta*v folds to -i*beta*kx*rlap in spectral space
+        a = a.astype(np.complex128) - 1j * beta * kx[:, None] * rlap
+    if kind == "barotropic":
+        return a
+    if kind == "tracer":
+        lq = float(kappa) * lap
+        return np.stack([a, lq.astype(a.dtype)])
+    raise ValueError(f"unknown scalar ETD kind {kind!r}")
+
+
+def _phi_series_scalar(T: np.ndarray, terms: int = 24):
+    """Scalar twin of _phi_series: elementwise Taylor accumulation."""
+    one = np.ones_like(T)
+    acc = [one.copy(), one.copy(), one / 2.0, one / 6.0]
+    P = one.copy()
+    kfact = 1.0
+    for k in range(1, terms + 1):
+        P = P * T
+        kfact *= k
+        d0 = kfact
+        d1 = d0 * (k + 1)
+        d2 = d1 * (k + 2)
+        d3 = d2 * (k + 3)
+        acc[0] += P / d0
+        acc[1] += P / d1
+        acc[2] += P / d2
+        acc[3] += P / d3
+    return acc
+
+
+def _phi_functions_scalar(A: np.ndarray):
+    """(exp, phi1, phi2, phi3) of a float64/complex128 array by the
+    same scaling + doubling scheme as the 3x3 path (robust at z = 0
+    where the closed forms (e^z-1)/z ... cancel catastrophically)."""
+    norm = float(np.max(np.abs(A))) if A.size else 0.0
+    s = max(0, int(np.ceil(np.log2(max(norm, 1e-300) / 0.25))))
+    E, p1, p2, p3 = _phi_series_scalar(A / (2.0 ** s))
+    for _ in range(s):
+        p3 = (p2 * (p1 + 1.0) + 2.0 * p3) / 8.0
+        p2 = (p1 * p1 + 2.0 * p2) / 4.0
+        p1 = (E + 1.0) * p1 / 2.0
+        E = E * E
+    return E, p1, p2, p3
+
+
+def _build_scalar_tables_host(cfg: ModelConfig, dt: float,
+                              kind: str = "barotropic",
+                              kappa: float = 0.0, row_chunk: int = 1024,
+                              hpad: int = 0) -> np.ndarray:
+    """One host stack (6, [F,] nx, hny[pad]) in _TABLE_NAMES order;
+    float32, or complex64 when the operator is complex (beta != 0)."""
+    L = scalar_linear_operator(cfg, kind, kappa, hpad)
+    mask = _host_lap_mask(cfg, hpad)[1]
+    out_dtype = np.complex64 if np.iscomplexobj(L) else np.float32
+    outs = np.empty((6,) + L.shape, out_dtype)
+    nx = L.shape[-2]
+    for i0 in range(0, nx, row_chunk):
+        rows = slice(i0, min(i0 + row_chunk, nx))
+        A = L[..., rows, :] * dt
+        m = mask[rows]
+        E, p1, p2, p3 = _phi_functions_scalar(A)
+        E2, q1, _, _ = _phi_functions_scalar(A * 0.5)
+        outs[0][..., rows, :] = (m * E + (1.0 - m)).astype(out_dtype)
+        outs[1][..., rows, :] = (m * E2 + (1.0 - m)).astype(out_dtype)
+        outs[2][..., rows, :] = (m * dt * 0.5 * q1).astype(out_dtype)
+        outs[3][..., rows, :] = (m * dt * (p1 - 3.0 * p2 + 4.0 * p3)
+                                 ).astype(out_dtype)
+        outs[4][..., rows, :] = (m * dt * (2.0 * p2 - 4.0 * p3)
+                                 ).astype(out_dtype)
+        outs[5][..., rows, :] = (m * dt * (4.0 * p3 - p2)
+                                 ).astype(out_dtype)
+    return outs
+
+
+def build_scalar_tables(cfg: ModelConfig, dt: float,
+                        kind: str = "barotropic", kappa: float = 0.0,
+                        hpad: int = 0,
+                        cached: bool = True) -> ScalarEtdTables:
+    """Scalar-family ETDRK4 tables, through the same disk cache as the
+    SW 3x3 tables (cached=False forces a fresh host build)."""
+    if cached:
+        key = tables_cache_key(cfg, dt, hpad, kind=kind, kappa=kappa)
+        stack = _cached_stack(
+            cfg, f"{kind}_etd_{key}",
+            lambda: _build_scalar_tables_host(cfg, dt, kind, kappa,
+                                              hpad=hpad))
+    else:
+        stack = _build_scalar_tables_host(cfg, dt, kind, kappa,
+                                          hpad=hpad)
+    return ScalarEtdTables(*(jnp.asarray(stack[i]) for i in range(6)))
+
+
+def etd_scheme(N, mul, tabs, u):
+    """The ETDRK4 update (module docstring) generically over pytree
+    states: N maps state -> dealiased nonlinear tendency, mul applies
+    one coefficient table to a state pytree. Shared by the scalar
+    families (and equivalent to etdrk4_step's inlined SW algebra)."""
+    tm = jax.tree_util.tree_map
+    add = lambda a, b: tm(lambda x, y: x + y, a, b)           # noqa: E731
+    two_minus = lambda a, b: tm(lambda x, y: 2.0 * x - y, a, b)  # noqa: E731
+    n1 = N(u)
+    e2u = mul(tabs.E2, u)
+    an = add(e2u, mul(tabs.Q, n1))
+    n2 = N(an)
+    bn = add(e2u, mul(tabs.Q, n2))
+    n3 = N(bn)
+    cn = add(mul(tabs.E2, an), mul(tabs.Q, two_minus(n3, n1)))
+    n4 = N(cn)
+    out = add(mul(tabs.E, u), mul(tabs.F1, n1))
+    out = add(out, mul(tabs.F2, add(n2, n3)))
+    return add(out, mul(tabs.F3, n4))
+
+
+def smul_planes(T, pr, pi):
+    """Apply a per-mode scalar table to (re, im) float32 planes: a
+    complex table is the rotation (tr*pr - ti*pi, tr*pi + ti*pr);
+    a real table multiplies both planes. The static dtype branch keeps
+    the common f-plane case free of the 4-multiply form."""
+    if jnp.iscomplexobj(T):
+        tr, ti = jnp.real(T), jnp.imag(T)
+        return tr * pr - ti * pi, tr * pi + ti * pr
+    return T * pr, T * pi
 
 
 def max_advective_dt(cfg: ModelConfig, u_max: float) -> float:

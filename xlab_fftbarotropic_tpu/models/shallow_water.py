@@ -358,7 +358,9 @@ class ShallowWaterModel:
             # stage structure). Tables ride as jit ARGUMENTS.
             from . import etdrk4 as etd_mod
             import os
-            etabs = etd_mod.build_tables(cfg, dt)
+            # disk-cached: rebuilding the 4096^2 tables costs minutes
+            # per process; a warm start mmap-loads instead
+            etabs = etd_mod.build_tables_cached(cfg, dt)
             planes = resolved == "pallas" and use_plane_stepper(g_shape)
             _fp_max = int(os.environ.get("XFB_FORWARD_PAIR_MAX", 1024))
             fwd_pair_e = (fft.forward_pair

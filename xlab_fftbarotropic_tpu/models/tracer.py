@@ -82,8 +82,11 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
     passive tracer feels the boundary layer through the decaying
     velocities, not through its own concentration."""
     zeta_hat, q_hat = state
-    lvort_hat = sp.laplacian(t, zeta_hat)
-    lq_hat = sp.laplacian(t, q_hat)
+    # static trace-time branches: the ETDRK4 N zeroes every linear
+    # coefficient (they live in the phi tables instead)
+    lvort_hat = (sp.laplacian(t, zeta_hat)
+                 if nu != 0.0 or nu4 != 0.0 else None)
+    lq_hat = sp.laplacian(t, q_hat) if kappa != 0.0 else None
     psi_hat = sp.invert_laplacian(t, zeta_hat)
     if inv_pair is None:
         inv_pair = (fft.inverse_pair if inv is fft.inverse else
@@ -99,14 +102,18 @@ def tendency(t: SpectralTables, state: TracerState, src: jax.Array,
         # product (models/barotropic.py:tendency); the passive tracer is
         # advected by the beta-plane flow but has no planetary term
         dvdy = dvdy + beta
-    dzeta = fwd(-u * dvdx - v * dvdy + src) + lvort_hat * nu
+    dzeta = fwd(-u * dvdx - v * dvdy + src)
+    if nu != 0.0:
+        dzeta = dzeta + lvort_hat * nu
     if r_drag != 0.0:
         dzeta = dzeta - zeta_hat * r_drag
     if nu4 != 0.0:
         # hyperviscosity on the FLOW only (config.py nu4 note); the
         # tracer keeps its plain kappa diffusion
         dzeta = dzeta - sp.laplacian(t, lvort_hat) * nu4
-    dq = fwd(-u * dqdx - v * dqdy) + lq_hat * kappa
+    dq = fwd(-u * dqdx - v * dqdy)
+    if kappa != 0.0:
+        dq = dq + lq_hat * kappa
     return TracerState(dzeta, dq)
 
 
@@ -191,11 +198,9 @@ class TracerModel:
     @classmethod
     def build(cls, cfg: ModelConfig, kappa: float = 0.0,
               tables: Optional[SpectralTables] = None) -> "TracerModel":
-        if cfg.time_scheme != "rk4":
-            raise NotImplementedError(
-                f"time_scheme={cfg.time_scheme!r} is shallow-water-only "
-                "(models/etdrk4.py; the tracer family's linear part is "
-                "plain diffusion — RK4's dt limit is already advective)")
+        if cfg.time_scheme not in ("rk4", "etdrk4"):
+            raise ValueError(f"unknown time_scheme {cfg.time_scheme!r}")
+        etd = cfg.time_scheme == "etdrk4"
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
@@ -207,7 +212,98 @@ class TracerModel:
         nu4 = float(cfg.nu4)
 
         from .barotropic import use_plane_stepper
-        if resolved == "pallas" and use_plane_stepper(g):
+        if etd:
+            # ETDRK4 with stacked per-mode scalar tables (2, nx, hny):
+            # slot 0 the flow operator nu*lap - r - nu4*lap^2
+            # (+ i*beta*kx*rlap), slot 1 the tracer diffusion
+            # kappa*lap — both integrated exactly; N is the joint
+            # advection-only tendency (models/etdrk4.py scalar-family
+            # section). Diffusion stiffness no longer caps dt.
+            from . import etdrk4 as etd_mod
+            etabs = etd_mod.build_scalar_tables(cfg, dt, kind="tracer",
+                                                kappa=kp)
+            if resolved == "pallas" and use_plane_stepper(g):
+                from ..ops import pallas_tracer as _pt
+                # all linear terms live in the tables: the kernels'
+                # stacked diffusion table is zero
+                lap2z = jnp.zeros((2,) + cfg.spectral_shape,
+                                  jnp.float32)
+
+                def _planes(state: TracerState):
+                    return (jnp.stack([jnp.real(state.zeta_hat),
+                                       jnp.real(state.q_hat)]),
+                            jnp.stack([jnp.imag(state.zeta_hat),
+                                       jnp.imag(state.q_hat)]))
+
+                def _state(p):
+                    return TracerState(
+                        jax.lax.complex(p[0][0], p[1][0]),
+                        jax.lax.complex(p[0][1], p[1][1]))
+
+                def _eplane_step(et, t_, lap2z_, p, src_l):
+                    def N(q):
+                        return _pt.tendency_tracer_planes(
+                            q[0], q[1], src_l, t_.kx, t_.ky, t_.rlap,
+                            lap2z_, t_.mask, g)
+
+                    def mul(T, q):
+                        return etd_mod.smul_planes(T, q[0], q[1])
+
+                    return etd_mod.etd_scheme(N, mul, et, p)
+
+                @jax.jit
+                def estep_(et, lap2z_, t_, state, src):
+                    p = _eplane_step(et, t_, lap2z_, _planes(state),
+                                     jnp.transpose(src))
+                    return _state(p)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, lap2z_, t_, state, src,
+                              n_steps: int):
+                    src_l = jnp.transpose(src)
+
+                    def body(p, _):
+                        return _eplane_step(et, t_, lap2z_, p,
+                                            src_l), None
+                    p, _ = jax.lax.scan(body, _planes(state), None,
+                                        length=n_steps)
+                    return _state(p)
+
+                step_ = functools.partial(estep_, etabs, lap2z)
+                segment_ = functools.partial(esegment_, etabs, lap2z)
+            else:
+                def _eN(t_, state, src):
+                    d = tendency(t_, state, src, nu=0.0, kappa=0.0,
+                                 grid_shape=g, fwd=fwd, inv=inv,
+                                 inv_pair=inv_pair)
+                    return TracerState(sp.dealias(t_, d.zeta_hat),
+                                       sp.dealias(t_, d.q_hat))
+
+                def _emul(T, s):
+                    return TracerState(T[0] * s.zeta_hat,
+                                       T[1] * s.q_hat)
+
+                @jax.jit
+                def estep_(et, t_, state, src):
+                    return etd_mod.etd_scheme(
+                        functools.partial(_eN, t_, src=src), _emul,
+                        et, state)
+
+                @functools.partial(jax.jit,
+                                   static_argnames=("n_steps",))
+                def esegment_(et, t_, state, src, n_steps: int):
+                    def body(s, _):
+                        return etd_mod.etd_scheme(
+                            functools.partial(_eN, t_, src=src),
+                            _emul, et, s), None
+                    out, _ = jax.lax.scan(body, state, None,
+                                          length=n_steps)
+                    return out
+
+                step_ = functools.partial(estep_, etabs)
+                segment_ = functools.partial(esegment_, etabs)
+        elif resolved == "pallas" and use_plane_stepper(g):
             # fully fused plane-state path (ops/pallas_tracer.py).
             # Diffusion/drag/hyperviscosity ride the STACKED table fold
             # lap2 = [nu*lap - r - nu4*lap^2 | kappa*lap] (the exact

@@ -196,10 +196,6 @@ class ShardedBarotropicModel:
               axis: str = AXIS,
               fft_impl: str = "xla",
               decomp: str = "slab") -> "ShardedBarotropicModel":
-        if cfg.time_scheme != "rk4":
-            raise NotImplementedError(
-                "time_scheme is shallow-water-only (models/barotropic.py"
-                " build note)")
         g = cfg.grid_shape
         dt, nu = float(cfg.dt), float(cfg.nu)
         r_drag = float(cfg.r_drag)
@@ -208,44 +204,90 @@ class ShardedBarotropicModel:
         (t, fwd, inv, tspec, sspec, pspec, hpad,
          axis) = _decomp_setup(cfg, mesh, axis, fft_impl, decomp)
 
-        def step_local(tl, zeta_hat, src):
-            return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
-                                       fwd=fwd, inv=inv, r_drag=r_drag,
-                                       beta=beta, nu4=nu4)
+        # Pallas collectives don't carry varying-mesh-axis metadata, so
+        # shard_map's vma check must be off for the DMA-based FFT impls.
+        vma = fft_impl == "xla"
 
-        def segment_local(tl, zeta_hat, src, n_steps: int):
-            def body(z, _):
-                return barotropic.rk4_step(tl, z, src, dt, nu, g,
+        if cfg.time_scheme == "etdrk4":
+            # scalar-table ETDRK4 (models/etdrk4.py scalar-family
+            # section): the (nx, hny[pad]) phi tables shard exactly
+            # like the lap table (pad modes get identity propagators /
+            # zero weights, so padded states stay zero); N runs the
+            # decomp's distributed transforms inside shard_map.
+            from ..models import etdrk4 as etd_mod
+            from ..ops import spectral as sp
+            hny = cfg.ny // 2 + 1
+            etabs = etd_mod.build_scalar_tables(
+                cfg, dt, kind="barotropic",
+                hpad=hpad if hpad and hpad > hny else 0)
+            espec = etd_mod.ScalarEtdTables(*([tspec.lap] * 6))
+
+            def _eN(tl, src, z):
+                return sp.dealias(tl, barotropic.tendency(
+                    tl, z, src, nu=0.0, grid_shape=g, fwd=fwd,
+                    inv=inv))
+
+            def estep_local(et, tl, zeta_hat, src):
+                return etd_mod.etd_scheme(
+                    functools.partial(_eN, tl, src),
+                    lambda T, x: T * x, et, zeta_hat)
+
+            estep_sm = shard_map(estep_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(estep_sm, etabs, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(zeta_hat, src, n_steps: int):
+                def seg_local(et, tl, z, src):
+                    def body(zz, _):
+                        return etd_mod.etd_scheme(
+                            functools.partial(_eN, tl, src),
+                            lambda T, x: T * x, et, zz), None
+                    z, _ = jax.lax.scan(body, z, None, length=n_steps)
+                    return z
+                return shard_map(seg_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec,
+                                 check_vma=vma)(etabs, t, zeta_hat, src)
+        else:
+            def step_local(tl, zeta_hat, src):
+                return barotropic.rk4_step(tl, zeta_hat, src, dt, nu, g,
                                            fwd=fwd, inv=inv,
                                            r_drag=r_drag,
-                                           beta=beta, nu4=nu4), None
-            z, _ = jax.lax.scan(body, zeta_hat, None, length=n_steps)
-            return z
+                                           beta=beta, nu4=nu4)
+
+            def segment_local(tl, zeta_hat, src, n_steps: int):
+                def body(z, _):
+                    return barotropic.rk4_step(tl, z, src, dt, nu, g,
+                                               fwd=fwd, inv=inv,
+                                               r_drag=r_drag,
+                                               beta=beta, nu4=nu4), None
+                z, _ = jax.lax.scan(body, zeta_hat, None,
+                                    length=n_steps)
+                return z
+
+            step_sm = shard_map(step_local, mesh=mesh,
+                                in_specs=(tspec, sspec, pspec),
+                                out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(step_sm, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(zeta_hat, src, n_steps: int):
+                local = shard_map(
+                    functools.partial(segment_local, n_steps=n_steps),
+                    mesh=mesh, in_specs=(tspec, sspec, pspec),
+                    out_specs=sspec, check_vma=vma)
+                return local(t, zeta_hat, src)
 
         def diags_local(tl, zeta_hat):
             return barotropic.diag_fields(tl, zeta_hat, g, inv=inv)
 
-        # Pallas collectives don't carry varying-mesh-axis metadata, so
-        # shard_map's vma check must be off for the DMA-based FFT impls.
-        vma = fft_impl == "xla"
-        step_sm = shard_map(step_local, mesh=mesh,
-                            in_specs=(tspec, sspec, pspec),
-                            out_specs=sspec, check_vma=vma)
         diags_sm = shard_map(diags_local, mesh=mesh,
                              in_specs=(tspec, sspec),
                              out_specs=barotropic.DiagFields(
                                  vort=pspec, psi=pspec, u=pspec, v=pspec),
                              check_vma=vma)
-
-        step = jax.jit(functools.partial(step_sm, t))
-
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment(zeta_hat, src, n_steps: int):
-            local = shard_map(
-                functools.partial(segment_local, n_steps=n_steps),
-                mesh=mesh, in_specs=(tspec, sspec, pspec),
-                out_specs=sspec, check_vma=vma)
-            return local(t, zeta_hat, src)
 
         diags = jax.jit(functools.partial(diags_sm, t))
 
@@ -394,7 +436,7 @@ class ShardedShallowWaterModel:
             # shard_map exactly like the RK4 path.
             from ..models import etdrk4 as etd_mod
             hny = cfg.ny // 2 + 1
-            etabs = etd_mod.build_tables(
+            etabs = etd_mod.build_tables_cached(
                 cfg, dt, hpad=hpad if hpad and hpad > hny else 0)
             tab1 = P(None, None, *tuple(tspec.lap))
             espec = etd_mod.SWEtdTables(*([tab1] * 6))
@@ -558,10 +600,6 @@ class ShardedTracerModel:
               kappa: float = 0.0) -> "ShardedTracerModel":
         from ..models import tracer as tr
 
-        if cfg.time_scheme != "rk4":
-            raise NotImplementedError(
-                "time_scheme is shallow-water-only (models/tracer.py "
-                "build note)")
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
         r_drag = float(cfg.r_drag)
@@ -571,30 +609,80 @@ class ShardedTracerModel:
         sspec = tr.TracerState(zeta_hat=spec1, q_hat=spec1)
 
         nu4 = float(cfg.nu4)
-
-        def step_local(tl, s, src):
-            return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd, inv=inv,
-                               r_drag=r_drag, beta=beta, nu4=nu4)
-
         vma = fft_impl == "xla"
-        step_sm = shard_map(step_local, mesh=mesh,
-                            in_specs=(tspec, sspec, pspec),
-                            out_specs=sspec, check_vma=vma)
-        step = jax.jit(functools.partial(step_sm, t))
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def segment(s, src, n_steps: int):
-            def seg_local(tl, s, src):
-                def body(state, _):
-                    return tr.rk4_step(tl, state, src, dt, nu, kp, g,
-                                       fwd=fwd, inv=inv,
-                                       r_drag=r_drag, beta=beta,
-                                       nu4=nu4), None
-                out, _ = jax.lax.scan(body, s, None, length=n_steps)
-                return out
-            return shard_map(seg_local, mesh=mesh,
-                             in_specs=(tspec, sspec, pspec),
-                             out_specs=sspec, check_vma=vma)(t, s, src)
+        if cfg.time_scheme == "etdrk4":
+            # stacked scalar-table ETDRK4 (flow + tracer slots); the
+            # (2, nx, hny[pad]) tables shard like lap with one leading
+            # replicated axis (see the sharded SW/barotropic notes).
+            from ..models import etdrk4 as etd_mod
+            from ..ops import spectral as sp
+            hny = cfg.ny // 2 + 1
+            etabs = etd_mod.build_scalar_tables(
+                cfg, dt, kind="tracer", kappa=kp,
+                hpad=hpad if hpad and hpad > hny else 0)
+            tab1 = P(None, *tuple(tspec.lap))
+            espec = etd_mod.ScalarEtdTables(*([tab1] * 6))
+
+            def _eN(tl, src, s):
+                d = tr.tendency(tl, s, src, nu=0.0, kappa=0.0,
+                                grid_shape=g, fwd=fwd, inv=inv)
+                return tr.TracerState(sp.dealias(tl, d.zeta_hat),
+                                      sp.dealias(tl, d.q_hat))
+
+            def _emul(T, s):
+                return tr.TracerState(T[0] * s.zeta_hat,
+                                      T[1] * s.q_hat)
+
+            def estep_local(et, tl, s, src):
+                return etd_mod.etd_scheme(
+                    functools.partial(_eN, tl, src), _emul, et, s)
+
+            estep_sm = shard_map(estep_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(estep_sm, etabs, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(s, src, n_steps: int):
+                def seg_local(et, tl, s, src):
+                    def body(state, _):
+                        return etd_mod.etd_scheme(
+                            functools.partial(_eN, tl, src), _emul,
+                            et, state), None
+                    out, _ = jax.lax.scan(body, s, None,
+                                          length=n_steps)
+                    return out
+                return shard_map(seg_local, mesh=mesh,
+                                 in_specs=(espec, tspec, sspec, pspec),
+                                 out_specs=sspec,
+                                 check_vma=vma)(etabs, t, s, src)
+        else:
+            def step_local(tl, s, src):
+                return tr.rk4_step(tl, s, src, dt, nu, kp, g, fwd=fwd,
+                                   inv=inv, r_drag=r_drag, beta=beta,
+                                   nu4=nu4)
+
+            step_sm = shard_map(step_local, mesh=mesh,
+                                in_specs=(tspec, sspec, pspec),
+                                out_specs=sspec, check_vma=vma)
+            step = jax.jit(functools.partial(step_sm, t))
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def segment(s, src, n_steps: int):
+                def seg_local(tl, s, src):
+                    def body(state, _):
+                        return tr.rk4_step(tl, state, src, dt, nu, kp,
+                                           g, fwd=fwd, inv=inv,
+                                           r_drag=r_drag, beta=beta,
+                                           nu4=nu4), None
+                    out, _ = jax.lax.scan(body, s, None,
+                                          length=n_steps)
+                    return out
+                return shard_map(seg_local, mesh=mesh,
+                                 in_specs=(tspec, sspec, pspec),
+                                 out_specs=sspec, check_vma=vma)(t, s,
+                                                                 src)
 
         def diags_local(tl, s):
             from ..ops import spectral as sp

@@ -495,9 +495,20 @@ def run(cfg: ModelConfig,
             if dbg:
                 recorder.record(step, **dbg)
 
+    etd = cfg.time_scheme == "etdrk4"
+
     def note_stats(step, state):
         if collect_stats:
-            stats_history.append(dict(step=step, **adapter.stats(state)))
+            st = adapter.stats(state)
+            stats_history.append(dict(step=step, **st))
+            if etd and "cfl" in st:
+                # the big-dt scheme's remaining stability limit: warn
+                # at the initial record, abort with a clear error at
+                # the first violating later record instead of a late
+                # NaN BlowUpError (utils/guards.py:check_etd_cfl)
+                from .utils.guards import check_etd_cfl
+                check_etd_cfl(step, st["cfl"], cfg,
+                              at_start=(step == start_step))
 
     per_step = recipe == "fifo"
     try:
