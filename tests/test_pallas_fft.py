@@ -344,3 +344,48 @@ def test_fusetail_bit_identical(monkeypatch):
     m1 = bt.BarotropicModel.build(cfg)
     z1 = m1.segment(m1.init_state(v0), src, 4)
     np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+
+def test_three_factor_dft_matches_numpy():
+    """_four_step3 (n = a*b*c digit algebra) reproduces the full DFT of
+    complex data to float32 round-off in interpret-trace (plain jnp
+    here — the kernels call the identical function on VMEM arrays)."""
+    n, m = 256, 8
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((n, m)).astype(np.float32)
+    xi = rng.standard_normal((n, m)).astype(np.float32)
+    for forward in (True, False):
+        tabs = [jnp.asarray(t) for t in pf._ka_tables3(n, forward)]
+        yr, yi = pf._four_step3(jnp.asarray(xr), jnp.asarray(xi), n, m,
+                                *tabs)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft(xr + 1j * xi, axis=0)
+        if not forward:
+            ref = np.conj(np.fft.fft(np.conj(xr + 1j * xi), axis=0))
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert err < 1e-5, (forward, err)
+    # factor sanity at the probe sizes
+    assert pf._split3(4096) == (16, 16, 16)
+    assert pf._split3(2048) == (16, 16, 8)
+    assert pf._split3(8192) == (32, 16, 16)
+
+
+def test_split3_ka_trajectory_matches_two_factor(monkeypatch):
+    """XFB_PALLAS_SPLIT3=ka (three-factor KA grid x-stage) reproduces
+    the two-factor plane-stepper trajectory at float32 round-off — a
+    regrouped but mathematically identical transform."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+
+    cfg = ModelConfig(nx=256, ny=256, fft_backend="pallas")
+    v0 = makefields.kuo2004(cfg)
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    monkeypatch.setattr(bt, "PLANE_STEPPER", True)
+    monkeypatch.setattr(pf, "SPLIT3", "")
+    m0 = bt.BarotropicModel.build(cfg)
+    z0 = m0.segment(m0.init_state(v0), src, 3)
+    monkeypatch.setattr(pf, "SPLIT3", "ka")
+    m1 = bt.BarotropicModel.build(cfg)
+    z1 = m1.segment(m1.init_state(v0), src, 3)
+    a, b = np.asarray(z0), np.asarray(z1)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-6, rel

@@ -336,6 +336,108 @@ def _four_step(xr, xi, n, m, far, fai, twr, twi, fbr, fbi):
     return (rr - ii).reshape(n, m), (ri + ir).reshape(n, m)
 
 
+# ---------------------------------------------------------------------------
+# Three-factor DFT probe (round-5 VERDICT item 7): n = a*b*c with three
+# near-equal power-of-two factors (4096 = 16*16*16) cuts the per-point
+# matmul work from (a+b) = 128 to (a+b+c) = 48 MACs (~2.6x less MXU
+# work) at the cost of one extra twiddle+reshape stage in VMEM and a
+# contraction depth of 16 (vs 64), which underfills the 128-deep MXU —
+# whether the FLOP cut or the depth underfill wins is exactly what the
+# hardware A/B decides. Probe scope: the grid-mode KA x-stage alone
+# (XFB_PALLAS_SPLIT3=ka), the largest single kernel in the round-4
+# profile. Digit algebra (j = j1*bc + j2*c + j3, k = k1 + a*k2 + ab*k3):
+#   S1 contract j1: F1[k1,j1] = W^(j1*k1*bc)        (a, a)
+#   T1 twiddle:     TW1[k1, j2*c+j3] = W^(k1*(j2*c+j3))
+#   S2 contract j2: F2[k2,j2] = W^(j2*k2*ca)        (b, b)
+#   T2 twiddle:     TW2[k2,j3] = W^(j3*k2*a)        (b, c)
+#   S3 contract j3: F3[k3,j3] = W^(j3*k3*ab)        (c, c)
+# with W = e^(sign*2*pi*i/n); output lands (k3, k2, k1, m) which
+# reshapes to natural frequency order p = k3*ab + k2*a + k1 = k, the
+# same digit-major trick the two-factor path uses.
+# ---------------------------------------------------------------------------
+
+SPLIT3 = _os.environ.get("XFB_PALLAS_SPLIT3", "")
+
+
+def split3_mode() -> str:
+    """'' (off, default) | 'ka' (grid-mode KA x-stage only)."""
+    return "" if SPLIT3 in ("", "0") else SPLIT3
+
+
+def _split3(n: int) -> Tuple[int, int, int]:
+    """Three near-equal power-of-two factors, largest first."""
+    if n & (n - 1) or n < 64:
+        raise ValueError(f"three-factor split needs power-of-two >= 64, "
+                         f"got {n}")
+    log = n.bit_length() - 1
+    la = (log + 2) // 3
+    lb = (log - la + 1) // 2
+    return 1 << la, 1 << lb, 1 << (log - la - lb)
+
+
+def _ka_tables3(n: int, forward: bool, scale: float = 1.0):
+    a, b, c = _split3(n)
+    sign = -2j if forward else 2j
+    j1 = np.arange(a)
+    j2 = np.arange(b)
+    j3 = np.arange(c)
+    jr = np.arange(b * c)
+    f1 = np.exp(sign * np.pi * np.outer(j1, j1) / a) * scale
+    tw1 = np.exp(sign * np.pi * np.outer(j1, jr) / n)
+    f2 = np.exp(sign * np.pi * np.outer(j2, j2) / b)
+    tw2 = np.exp(sign * np.pi * np.outer(j2, j3) / (b * c))
+    f3 = np.exp(sign * np.pi * np.outer(j3, j3) / c)
+    f32 = np.float32
+    return _presplit_lhs(
+        (f1.real.astype(f32), f1.imag.astype(f32),
+         tw1.real.astype(f32), tw1.imag.astype(f32),
+         f2.real.astype(f32), f2.imag.astype(f32),
+         tw2.real.astype(f32), tw2.imag.astype(f32),
+         f3.real.astype(f32), f3.imag.astype(f32)),
+        (0, 1, 4, 5, 8, 9))
+
+
+def _four_step3(xr, xi, n, m, f1r, f1i, tw1r, tw1i, f2r, f2i,
+                tw2r, tw2i, f3r, f3i):
+    """In-VMEM three-factor DFT along axis 0 of (n, m) planes (header
+    note above); same contract as _four_step."""
+    a, b, c = _split3(n)
+    if xi is None:
+        s1r, s1i = _rmatmul_left(f1r, f1i, xr.reshape(a, b * c * m))
+    else:
+        s1r, s1i = _cmatmul_left(f1r, f1i, xr.reshape(a, b * c * m),
+                                 xi.reshape(a, b * c * m))
+    s1r = s1r.reshape(a, b * c, m)
+    s1i = s1i.reshape(a, b * c, m)
+    t1r = tw1r[:, :, None]
+    t1i = tw1i[:, :, None]
+    hr = (s1r * t1r - s1i * t1i).reshape(a, b, c * m)
+    hi = (s1r * t1i + s1i * t1r).reshape(a, b, c * m)
+    rr = _mm(f2r, hr, ((1,), (1,)))          # (k2, k1, c*m)
+    ri = _mm(f2r, hi, ((1,), (1,)))
+    ir = _mm(f2i, hr, ((1,), (1,)))
+    ii = _mm(f2i, hi, ((1,), (1,)))
+    g2r = (rr - ii).reshape(b, a, c, m)
+    g2i = (ri + ir).reshape(b, a, c, m)
+    t2r = tw2r[:, None, :, None]
+    t2i = tw2i[:, None, :, None]
+    h2r = g2r * t2r - g2i * t2i              # (k2, k1, j3, m)
+    h2i = g2r * t2i + g2i * t2r
+    rr = _mm(f3r, h2r, ((1,), (2,)))         # (k3, k2, k1, m)
+    ri = _mm(f3r, h2i, ((1,), (2,)))
+    ir = _mm(f3i, h2r, ((1,), (2,)))
+    ii = _mm(f3i, h2i, ((1,), (2,)))
+    return ((rr - ii).reshape(n, m), (ri + ir).reshape(n, m))
+
+
+def _four_step_any(xr, xi, n, m, tabs):
+    """Dispatch on the table tuple: 6 refs/arrays = two-factor
+    (_four_step), 10 = three-factor (_four_step3)."""
+    if len(tabs) == 10:
+        return _four_step3(xr, xi, n, m, *tabs)
+    return _four_step(xr, xi, n, m, *tabs)
+
+
 def _ka_kernel(real_input: bool, n: int, *refs):
     if real_input:
         (xr_ref, far_ref, fai_ref, twr_ref, twi_ref,
@@ -477,21 +579,22 @@ def _ka_diag_compute(n: int, zr, zi, rlap, ar, ai, br, bi, e, tabs):
     t1i = zr * ai + zi * ar
     xr = (t1r * br - t1i * bi) * rl
     xi = (t1r * bi + t1i * br) * rl
-    yr, yi = _four_step(xr, xi, n, m, *tabs)
+    yr, yi = _four_step_any(xr, xi, n, m, tabs)
     return yr.T, yi.T
 
 
 def _ka_diag_kernel(n: int, zr_ref, zi_ref, rlap_ref,
-                    ar_ref, ai_ref, br_ref, bi_ref, e_ref,
-                    far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
-                    owr_ref, owi_ref):
+                    ar_ref, ai_ref, br_ref, bi_ref, e_ref, *rest):
     """Grid-mode KA: the field-index grid dimension selects the stacked
-    diagonal factor inputs (ar (n,1), br (1,m), e scalar)."""
+    diagonal factor inputs (ar (n,1), br (1,m), e scalar). `rest` is
+    the DFT table refs (6 two-factor / 10 three-factor, SPLIT3 probe)
+    followed by the two output refs."""
+    tabs = rest[:-2]
+    owr_ref, owi_ref = rest[-2:]
     yrt, yit = _ka_diag_compute(
         n, zr_ref[:], zi_ref[:], rlap_ref[:],
         ar_ref[0], ai_ref[0], br_ref[0], bi_ref[0], e_ref[0],
-        (far_ref[:], fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
-         fbi_ref[:]))
+        tuple(t[:] for t in tabs))
     owr_ref[0] = yrt.astype(owr_ref.dtype)
     owi_ref[0] = yit.astype(owi_ref.dtype)
 
@@ -525,7 +628,10 @@ def derivative_xstage_planes(zr: jax.Array, zi: jax.Array, kx: jax.Array,
     output storage dtype (STORE note above; default float32)."""
     nx, ny = grid_shape[-2], grid_shape[-1]
     hny = ny // 2 + 1
-    tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
+    tables = [jnp.asarray(t) for t in
+              (_ka_tables3(nx, forward=False)
+               if split3_mode() == "ka"
+               else _ka_tables(nx, forward=False))]
     ar, ai, br, bi, e = _stack_factors(kx, ky, nx, hny)
     if _ka_field_minor():
         # grid (blocks, FIELDS): the field axis is MINOR, so the
