@@ -27,6 +27,9 @@ mid-flight — CLAUDE.md):
             hypothesis this probe tests). Planes LAST so an
             OOM-SIGKILLed compile still leaves the XLA number.
   n8192-sw  8192^2 shallow-water, same shape (xla control + planes).
+  n8192-tracer  8192^2 tracer family, same shape — probes the KA6
+            kernel + chunked KB/KC bodies at the frontier size (its
+            auto cap stays 4096 until this measures a win).
 
 Each prints one JSON line per measurement.
 """
@@ -151,8 +154,15 @@ def cmd_sw_warm(nx: int, resume: bool):
 
     ck = "output/r5_sw_etd_ckpt.npz"
     if resume:
+        import jax
         packed, step, _ = load_checkpoint(ck, cfg, kind="sw")
-        s = SWState(*(jnp.asarray(a) for a in packed))
+        # complex64 HOST->DEVICE transfers are as UNIMPLEMENTED over
+        # the tunnel as the fetches: upload float32 re/im planes and
+        # recombine on device
+        s = SWState(*(jax.jit(jax.lax.complex)(
+            jnp.asarray(np.ascontiguousarray(a.real)),
+            jnp.asarray(np.ascontiguousarray(a.imag)))
+            for a in packed))
         ms, out, c = seg_time(m, s, None, 20, csum)
         emit(probe="sw-etd-warm", nx=nx, dt=7.5, build_s=build_s,
              resumed_from_step=step, ms_per_step=round(ms, 2),
@@ -160,15 +170,25 @@ def cmd_sw_warm(nx: int, resume: bool):
         return
     s0 = m.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
     ms, out, c = seg_time(m, s0, None, 20, csum)
-    # big device->host fetches must go through the chunked helper
-    # (the tunnel rejects oversized single transfers — CLAUDE.md)
-    from xlab_fftbarotropic_tpu.parallel.multihost import gather_to_host
-    packed = np.stack([gather_to_host(a) for a in out])
-    save_checkpoint(ck, cfg, packed, step=40, kind="sw")
+    # emit BEFORE any big fetch (a failed fetch must not lose the
+    # measurement — learned the hard way this round)
     emit(probe="sw-etd-cold", nx=nx, dt=7.5, build_s=build_s,
          ms_per_step=round(ms, 2),
          sim_s_per_wall_s=round(7.5 / ms * 1e3, 1), checksum=c,
          checkpoint=ck)
+    # big device->host fetches must go through the chunked helper AND
+    # as FLOAT planes: a complex64 fetch is UNIMPLEMENTED over the
+    # tunnel even chunked (measured 2026-08-20) — fetch re/im float32
+    # planes and recombine on host
+    import jax
+    from xlab_fftbarotropic_tpu.parallel.multihost import gather_to_host
+    planes = [jax.jit(lambda a, f=f: f(a))(a)
+              for a in out for f in (jnp.real, jnp.imag)]
+    host = [gather_to_host(p) for p in planes]
+    packed = np.stack([host[2 * i] + 1j * host[2 * i + 1]
+                       for i in range(3)]).astype(np.complex64)
+    save_checkpoint(ck, cfg, packed, step=40, kind="sw")
+    emit(probe="sw-etd-ckpt-saved", checkpoint=ck)
 
 
 def cmd_split3(nx: int):
@@ -214,6 +234,14 @@ def cmd_n8192(model_kind: str):
             s = m.geostrophic_init(makefields.gaussian(cfg, zeta0=1e-5))
             return m, s, None, (lambda o: float(jnp.max(
                 jnp.abs(o.zeta_hat))))
+        if model_kind == "tracer":
+            from xlab_fftbarotropic_tpu.models.tracer import (
+                TracerModel, tracer_ic)
+            m = TracerModel.build(cfg, kappa=50.0)
+            s = m.init_state(makefields.gaussian(cfg),
+                             tracer_ic(cfg, "gaussian"))
+            return m, s, m.zero_source(), (lambda o: float(jnp.max(
+                jnp.abs(o.zeta_hat))))
         from xlab_fftbarotropic_tpu.models.barotropic import (
             BarotropicModel)
         m = BarotropicModel.build(cfg)
@@ -239,7 +267,8 @@ def cmd_n8192(model_kind: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["bt-etd", "sw-warm", "sw-warm2",
-                                    "split3", "n8192", "n8192-sw"])
+                                    "split3", "n8192", "n8192-sw",
+                                    "n8192-tracer"])
     ap.add_argument("--nx", type=int, default=4096)
     args = ap.parse_args()
     if args.cmd == "bt-etd":
@@ -254,6 +283,8 @@ def main():
         cmd_n8192("bt")
     elif args.cmd == "n8192-sw":
         cmd_n8192("sw")
+    elif args.cmd == "n8192-tracer":
+        cmd_n8192("tracer")
 
 
 if __name__ == "__main__":

@@ -128,18 +128,24 @@ def test_forward_tendency_matches_composition():
     assert _rel(ref, got) < 2e-5
 
 
-def test_plane_stepper_size_gate():
-    """The fused plane stepper is capped at PLANE_STEPPER_MAX: the 8192^2
-    Mosaic compile OOM-kills the AOT compile helper (BASELINE.md), so the
-    pallas backend must fall back to the per-transform pipeline there."""
+def test_plane_stepper_size_gate(monkeypatch):
+    """The fused plane stepper is capped at PLANE_STEPPER_MAX (8192
+    since round 5: the loop-chunked kernel bodies fit the compile that
+    OOM-killed the AOT helper in r2-r4 — BASELINE.md r5 ledger); above
+    the cap the pallas backend falls back to the per-transform
+    pipeline, and XFB_PLANE_STEPPER_MAX moves the cap without a code
+    change."""
     from xlab_fftbarotropic_tpu.models import barotropic as bt
 
     assert bt.use_plane_stepper((4096, 4096)) == bt.PLANE_STEPPER
-    assert not bt.use_plane_stepper((8192, 8192))
-    *_, quad = bt.resolve_fft_backend("pallas", (8192, 8192))
+    assert bt.use_plane_stepper((8192, 8192)) == bt.PLANE_STEPPER
+    assert not bt.use_plane_stepper((16384, 16384))
+    *_, quad = bt.resolve_fft_backend("pallas", (16384, 16384))
     assert quad is None
     *_, quad4 = bt.resolve_fft_backend("pallas", (4096, 4096))
     assert quad4 is not None
+    monkeypatch.setenv("XFB_PLANE_STEPPER_MAX", "4096")
+    assert not bt.use_plane_stepper((8192, 8192))
 
 
 def test_auto_gate_is_range_based(monkeypatch):
@@ -389,3 +395,42 @@ def test_split3_ka_trajectory_matches_two_factor(monkeypatch):
     a, b = np.asarray(z0), np.asarray(z1)
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 1e-6, rel
+
+
+def test_chunked_kernel_bodies_match_unchunked(monkeypatch):
+    """XFB_PALLAS_CHUNKS (loop-form DFT bodies for the 8192^2
+    compile-memory budget) reproduces the unchunked trajectory at
+    float32 round-off. Chunks write disjoint output slices with the
+    same contraction grouping — on hardware the MXU accumulation depth
+    is unchanged, on CPU the backend gemm may re-block small shapes, so
+    the gate is a tight rel-L2 rather than bitwise."""
+    from xlab_fftbarotropic_tpu.models import barotropic as bt
+    from xlab_fftbarotropic_tpu.models.shallow_water import (
+        ShallowWaterModel, max_stable_dt)
+
+    cfg = ModelConfig(nx=256, ny=256, fft_backend="pallas")
+    v0 = makefields.kuo2004(cfg)
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+    monkeypatch.setattr(bt, "PLANE_STEPPER", True)
+    monkeypatch.setattr(pf, "CHUNKS", 0)
+    m0 = bt.BarotropicModel.build(cfg)
+    z0 = m0.segment(m0.init_state(v0), src, 3)
+    monkeypatch.setattr(pf, "CHUNKS", 4)
+    m1 = bt.BarotropicModel.build(cfg)
+    z1 = m1.segment(m1.init_state(v0), src, 3)
+    rel = float(jnp.linalg.norm(z0 - z1) / jnp.linalg.norm(z0))
+    assert rel < 1e-6, rel
+
+    cfgs = ModelConfig(nx=128, ny=128, fft_backend="pallas")
+    cfgs = cfgs.replace(dt=0.5 * max_stable_dt(cfgs))
+    monkeypatch.setattr(pf, "CHUNKS", 0)
+    ms0 = ShallowWaterModel.build(cfgs)
+    s0 = ms0.geostrophic_init(makefields.gaussian(cfgs))
+    a = ms0.segment(s0, None, 3)
+    monkeypatch.setattr(pf, "CHUNKS", 2)
+    ms1 = ShallowWaterModel.build(cfgs)
+    b = ms1.segment(s0, None, 3)
+    assert float(jnp.linalg.norm(a.zeta_hat - b.zeta_hat)
+                 / jnp.linalg.norm(a.zeta_hat)) < 1e-6
+    assert float(jnp.linalg.norm(a.eta_hat - b.eta_hat)
+                 / jnp.linalg.norm(a.eta_hat)) < 1e-6

@@ -437,3 +437,29 @@ def test_pstore_bf16_bounded(monkeypatch):
                / max(np.linalg.norm(ref[i]), 1e-30))
         assert 1e-9 < err < 5e-2, (i, err)
         assert np.isfinite(got[i]).all()
+
+
+def test_ka_split_matches_unsplit(monkeypatch):
+    """XFB_SW_KA_SPLIT (the two-field split of the inverse x-stage that
+    fits the 8192^2 KA_SW kernel into core VMEM — r5 ledger) must
+    reproduce the unsplit 4-field kernel's physical fields at float32
+    round-off: same diagonal factors, same four-step DFT, only the
+    field batching differs (and the split path routes through
+    _kb_call_stacked in two pairs)."""
+    cfg = _cfg()
+    t = SpectralTables.from_config(cfg)
+    s = _random_state(t, cfg)
+    g = cfg.grid_shape
+    planes = sw._state_to_planes(s)
+    es = psw.eta_pair_scale(planes)
+
+    monkeypatch.setenv("XFB_SW_KA_SPLIT", "0")
+    ref = psw.inverse_quad_planes(*planes, t.kx, t.ky, t.rlap, g,
+                                  eta_scale=es)
+    monkeypatch.setenv("XFB_SW_KA_SPLIT", "1")
+    got = psw.inverse_quad_planes(*planes, t.kx, t.ky, t.rlap, g,
+                                  eta_scale=es)
+    for name, a, b in zip(("u", "v", "zeta", "eta"), ref, got):
+        r = (np.linalg.norm(np.asarray(a) - np.asarray(b))
+             / max(np.linalg.norm(np.asarray(a)), 1e-30))
+        assert r < 1e-6, (name, r)

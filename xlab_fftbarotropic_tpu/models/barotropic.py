@@ -41,11 +41,14 @@ from ..ops.spectral import SpectralTables
 # 4096^2 — 381 M gp/s/chip, 1.16x the per-transform fused pipeline,
 # 1.73x the XLA-FFT core, with a bit-identical 30-step checksum
 # (BASELINE.md ledger, 2026-08-17). ON by default up to
-# PLANE_STEPPER_MAX: at 8192^2 the Mosaic compile of the fused kernels
-# OOM-SIGKILLs the AOT compile helper (verified 2026-08-17), so larger
-# grids fall back to the per-transform fused pipeline.
+# PLANE_STEPPER_MAX = 8192 since round 5: the loop-chunked KB/KC
+# bodies (+ split KA_SW and narrow COMBINE rows for SW) fit the
+# 8192^2 compile that OOM-SIGKILLed the AOT helper in r2-r4, measured
+# 3.96x/4.07x the XLA core in fast mode (r5 ledger). Whether pallas is
+# actually SELECTED at a size is the resolve_fft_backend_name gate's
+# call (fp32 and tracer caps stay 4096 pending measurement).
 PLANE_STEPPER = True
-PLANE_STEPPER_MAX = 4096
+PLANE_STEPPER_MAX = 8192
 
 
 def _plane_stepper_max() -> int:
@@ -65,38 +68,37 @@ def use_plane_stepper(grid_shape) -> bool:
             and max(grid_shape) <= _plane_stepper_max())
 
 
-def resolve_fft_backend_name(name: str, grid_shape=None) -> str:
-    """Resolve 'auto' to a concrete backend name for this process/grid.
+def resolve_fft_backend_name(name: str, grid_shape=None,
+                             family: str = "barotropic") -> str:
+    """Resolve 'auto' to a concrete backend name for this
+    process/grid/family.
 
-    Measured crossover (BASELINE.md): the fused Pallas pipeline wins
-    decisively at 4096^2 (1.73x with the plane stepper) but loses to
-    XLA's FFT at 2048^2 (0.90x — XLA runs 429 M gp/s there), and at
-    8192^2 the remote AOT compile helper OOMs on the Pallas kernels, so
-    'auto' selects pallas exactly at 4096^2 on TPU.
+    Measured crossovers (BASELINE.md): the fused Pallas pipeline wins
+    decisively at 4096^2 (1.73x fp32 / 3.7x fast with the plane
+    stepper) but loses to XLA's FFT at 2048^2 fp32 (0.90x); in fast
+    mode the floor drops to 1024^2 (1.32x there). The 8192^2 ceiling
+    lifted in round 5 (loop-chunked kernel bodies + split KA_SW +
+    narrow COMBINE rows): measured 3.96x/4.07x the XLA core for
+    barotropic/SW in fast mode, so those families' fast-mode cap is
+    8192. fp32-HIGHEST at 8192^2 and the tracer family's 8192^2 KA6
+    kernel are unprobed — their caps stay 4096 pending measurement.
     """
     if name != "auto":
         return name
     import os
     import sys
     nx, ny = (grid_shape if grid_shape is not None else (0, 0))
-    # Range gate, not equality: at float32 HIGHEST pallas wins from 4096
-    # up (measured 1.73x there; XLA still wins at <= 2048), capped by the
-    # COMPILE-memory budget — at 8192^2 BOTH pallas pipelines OOM-SIGKILL
-    # the remote AOT compile helper (verified 2026-08-17), an environment
-    # host-RAM limit, not a kernel property. In FAST-transforms mode
-    # (XFB_PALLAS_MM lossy) the single-pass matmuls move the crossover
-    # down: measured 1.32x XLA at 1024^2 and 1.94x at 2048^2 (BASELINE.md
-    # 2026-08-18), so the floor drops to 1024 there. Hosts with more
-    # compile RAM can raise the cap via XFB_PALLAS_MAX (and move the
-    # floor via XFB_PALLAS_MIN); explicit --fft-backend pallas always
-    # bypasses the gate.
+    # Range gate, not equality. XFB_PALLAS_MIN / XFB_PALLAS_MAX
+    # override; explicit --fft-backend pallas bypasses the gate.
     mm = os.environ.get("XFB_PALLAS_MM", "fp32")
     pf = sys.modules.get("xlab_fftbarotropic_tpu.ops.pallas_fft")
     if pf is not None:      # in-process override (cli --fast-transforms)
         mm = pf.MM_MODE
     fast = mm in ("bf16", "default")
     lo = int(os.environ.get("XFB_PALLAS_MIN", 1024 if fast else 4096))
-    hi = int(os.environ.get("XFB_PALLAS_MAX", 4096))
+    hi_default = 8192 if fast and family in ("barotropic", "sw") \
+        else 4096
+    hi = int(os.environ.get("XFB_PALLAS_MAX", hi_default))
     pallas_ok = (nx == ny and lo <= nx <= hi and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
         return "pallas"
@@ -111,9 +113,10 @@ def resolve_fft_backend(name: str, grid_shape=None):
     'xla' is jnp.fft (ops/fft.py); 'mxu' is the einsum matmul four-step
     FFT (ops/mxu_fft.py); 'pallas' is the fused VMEM-resident kernel
     pipeline (ops/pallas_fft.py — with the plane stepper, measured 1.73x
-    the XLA core at 4096^2). 'auto' picks 'pallas' on a real TPU backend
-    exactly at 4096^2 (see resolve_fft_backend_name) and 'xla'
-    everywhere else. All honor the FFTW normalization contract
+    the XLA core at 4096^2). 'auto' picks 'pallas' on a real TPU
+    backend over the measured range (resolve_fft_backend_name: floor
+    4096 fp32 / 1024 fast, cap 8192 for fast barotropic/SW, else
+    4096) and 'xla' everywhere else. All honor the FFTW normalization contract
     (SURVEY.md §5.2) and agree to float32 round-off.
     """
     name = resolve_fft_backend_name(name, grid_shape)
@@ -289,7 +292,7 @@ def rk4_step_planes(t: SpectralTables, zr: jax.Array, zi: jax.Array,
         r1r, r1i, s2r, s2i = d(zr, zi, axpy=(zr, zi, h))
         r2r, r2i, s3r, s3i = d(s2r, s2i, axpy=(zr, zi, h))
         r3r, r3i, s4r, s4i = d(s3r, s3i, axpy=(zr, zi, dt))
-        if pf.fusetail_on() and pf.fusekx_on():
+        if pf.fusetail_on() and pf.fusekx_on(grid_shape[0]):
             # RK4 tail rides the stage-4 KX epilogue: r4 never lands in
             # HBM and the plane_rk4_combine pass disappears
             # (_kx_visc_tail_kernel; bit-identical grouping)

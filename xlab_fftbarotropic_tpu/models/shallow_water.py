@@ -327,7 +327,8 @@ class ShallowWaterModel:
         from .barotropic import (resolve_fft_backend,
                                  resolve_fft_backend_name,
                                  use_plane_stepper)
-        resolved = resolve_fft_backend_name(cfg.fft_backend, g_shape)
+        resolved = resolve_fft_backend_name(cfg.fft_backend, g_shape,
+                                            family="sw")
         fwd, inv, inv_pair, _quad = resolve_fft_backend(
             resolved, g_shape)          # SW has its own transform mix;
         #                                 the barotropic quad is unused

@@ -204,7 +204,8 @@ class TracerModel:
         t = tables if tables is not None else SpectralTables.from_config(cfg)
         g = cfg.grid_shape
         dt, nu, kp = float(cfg.dt), float(cfg.nu), float(kappa)
-        resolved = resolve_fft_backend_name(cfg.fft_backend, g)
+        resolved = resolve_fft_backend_name(cfg.fft_backend, g,
+                                            family="tracer")
         fwd, inv, inv_pair, _ = resolve_fft_backend(resolved, g)
 
         r_drag = float(cfg.r_drag)

@@ -76,15 +76,19 @@ BLOCK = int(_os.environ.get("XFB_PALLAS_BLOCK", "128"))
 # 4096^2 with BLOCK=128. 112 MB (of the v5e core's 128 MB physical
 # VMEM): the ETDRK4 COMBINE+matvec epilogue's extra operands (one
 # (3,3,BLOCK,hny) phi-table block + 6 z0 planes, ~16 MB at 4096^2)
-# measured 101.68 MB total against the previous 100 MB cap.
+# measured 101.68 MB total against the previous 100 MB cap. At 8192^2
+# the loop-chunked KX+VISC(+axpy) kernel's stack measures 116.65 MB
+# (compile-time scoped-vmem check), so the default rises to 120 MB via
+# XFB_PALLAS_VMEM_MB — still under the 128 MB physical core VMEM.
 _COMPILER_PARAMS = None
 
 
 def _compiler_params():
     global _COMPILER_PARAMS
     if _COMPILER_PARAMS is None:
+        mb = int(_os.environ.get("XFB_PALLAS_VMEM_MB", "122"))
         _COMPILER_PARAMS = pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024)
+            vmem_limit_bytes=mb * 1024 * 1024)
     return _COMPILER_PARAMS
 
 # matmul precision inside kernels; HIGHEST = float32-accurate;
@@ -314,10 +318,114 @@ def _dot2(f, g):
     return _mm(f, g, ((1,), (1,)))
 
 
+# Loop-form kernel bodies (round-5 VERDICT item 1): the remote AOT
+# compile helper's host-RAM budget scales with the per-kernel unrolled
+# op-tile count, which doubles from 4096^2 to 8192^2 at fixed
+# BLOCK=128 lanes (lane blocks must be 128-divisible on hardware, so
+# shrinking BLOCK is not an option) — the 8192^2 Pallas compiles
+# OOM-SIGKILL the helper (BASELINE.md 8192^2 entry). The round-4
+# KY_ALL lesson (lax.fori_loop body -> ~5x smaller MLIR -> a
+# previously-OOM 4096^2 compile FITS) generalizes: chunk each DFT
+# body over the stage-1 OUTPUT digit (k1 for _four_step/_kc_body, y1
+# for _kb_compute) in a fori_loop — every op inside the body shrinks
+# to area/chunks and only the block load, two rotate-concats and the
+# final transpose/store stay full-area. Mosaic lowers neither
+# dynamic_slice nor dynamic_update_slice on VALUES, so the loop uses
+# STATIC slices with rotation: each iteration consumes the first
+# `rows/ch` rows of loop-carried table copies and rotates them, and
+# appends its output chunk to the carry with a left-shifting concat —
+# after ch iterations the chunks sit in order. Per-element contraction
+# grouping is unchanged (chunks are disjoint; no accumulation), so
+# results differ from the unrolled body only where the backend gemm
+# re-blocks by shape (float32 round-off; bit-identical on the MXU's
+# fixed contraction depth). XFB_PALLAS_CHUNKS: 0/1 = off (default),
+# N = chunk count. bf16x3 presplit tables stack [Th; Tl] on the row
+# axis the rotation walks, so chunking is off in that (rejected-probe)
+# mode.
+# XFB_PALLAS_CHUNKS: -1 (auto, default: 2 exactly at transform length
+# >= 8192 — the measured fit; see the 8192^2 r5 ledger) | 0 (off) | N.
+CHUNKS = int(_os.environ.get("XFB_PALLAS_CHUNKS", "-1"))
+# Separate gate for the single-_four_step bodies (KA grid / KA_SW /
+# KX): their unrolled form is already compile-memory-lean (one DFT) —
+# the 8192^2 compile fits with them UNROLLED once the op-heavy KB/KC
+# bodies chunk, and skipping the loop is faster (bt 8192^2: 96.73
+# ms/step fully chunked vs 89.78 with four-steps unrolled) — while the
+# fori_loop's carry+rotation buffers cost Mosaic ~15-30 MB of scoped
+# stack. Default 0 = never chunk four-steps; N = chunk count.
+CHUNKS_FS = int(_os.environ.get("XFB_PALLAS_CHUNKS_FS", "0"))
+
+
+def _chunks_for(n: int) -> int:
+    if MM_MODE == "bf16x3":
+        return 0
+    if CHUNKS >= 0:
+        return CHUNKS
+    return 2 if n >= 8192 else 0
+
+
+def _chunks_fs() -> int:
+    return 0 if MM_MODE == "bf16x3" else max(0, CHUNKS_FS)
+
+
+def _rot(t, rows):
+    """Rotate the leading axis left by `rows` (static slices only)."""
+    return jnp.concatenate([t[rows:], t[:rows]], axis=0)
+
+
+def _shift_append(carry, chunk, axis=1):
+    """Drop the oldest chunk off the front of `axis`, append the new
+    one at the back — after ch appends the carry holds the chunks in
+    emission order."""
+    rows = chunk.shape[axis]
+    idx = [slice(None)] * carry.ndim
+    idx[axis] = slice(rows, None)
+    return jnp.concatenate([carry[tuple(idx)], chunk], axis=axis)
+
+
+def _four_step_k1loop(xr, xi, n, m, far, fai, twr, twi, fbr, fbi,
+                      ch: int):
+    """_four_step with the k1 output digit chunked in a fori_loop
+    (header note above)."""
+    a, b = _split(n)
+    ac = a // ch
+    xr2 = xr.reshape(a, b * m)
+    xi2 = None if xi is None else xi.reshape(a, b * m)
+
+    def body(_, carry):
+        yr, yi, fr_c, fi_c, tr_c, ti_c = carry
+        fr, fi_ = fr_c[:ac], fi_c[:ac]
+        if xi2 is None:
+            s1r, s1i = _rmatmul_left(fr, fi_, xr2)
+        else:
+            s1r, s1i = _cmatmul_left(fr, fi_, xr2, xi2)
+        s1r = s1r.reshape(ac, b, m)
+        s1i = s1i.reshape(ac, b, m)
+        tr = tr_c[:ac][:, :, None]
+        ti = ti_c[:ac][:, :, None]
+        hr = s1r * tr - s1i * ti
+        hi = s1r * ti + s1i * tr
+        rr = _dot2(fbr, hr)                     # (b, ac, m)
+        ri = _dot2(fbr, hi)
+        ir = _dot2(fbi, hr)
+        ii = _dot2(fbi, hi)
+        return (_shift_append(yr, rr - ii), _shift_append(yi, ri + ir),
+                _rot(fr_c, ac), _rot(fi_c, ac), _rot(tr_c, ac),
+                _rot(ti_c, ac))
+
+    z = jnp.zeros((b, a, m), jnp.float32)
+    yr, yi, *_ = jax.lax.fori_loop(
+        0, ch, body, (z, z, far, fai, twr, twi))
+    return yr.reshape(n, m), yi.reshape(n, m)
+
+
 def _four_step(xr, xi, n, m, far, fai, twr, twi, fbr, fbi):
     """In-VMEM four-step DFT along axis 0 of (n, m) planes. xi=None for a
     real input. Returns (yr, yi) of shape (n, m)."""
     a, b = _split(n)
+    ch = _chunks_fs()
+    if ch > 1 and a % ch == 0:
+        return _four_step_k1loop(xr, xi, n, m, far, fai, twr, twi,
+                                 fbr, fbi, ch)
     if xi is None:
         s1r, s1i = _rmatmul_left(far, fai, xr.reshape(a, b * m))
     else:
@@ -863,36 +971,70 @@ def _kb_compute(ny: int, war, wai, wbr, wbi,
     q_r = jnp.where(row == 0, 0.0, q_r)
     q_i = jnp.where(row == 0, 0.0, q_i)
 
-    def partial_stageA(cr, ci, e1r, e1i, twr, twi):
+    def partial_stageA(cr3, ci3, e1r, e1i, twr, twi, rows):
         # rows [0, half) as (b2, a, m): j = j1 + a*j2 -> natural reshape
-        cr3 = cr[0:half, :].reshape(b2, a * m)
-        ci3 = ci[0:half, :].reshape(b2, a * m)
         gr, gi = _cmatmul_left(e1r, e1i, cr3, ci3)     # [y1, a*m]
-        gr = gr.reshape(_m_dig, a, m)
-        gi = gi.reshape(_m_dig, a, m)
+        gr = gr.reshape(rows, a, m)
+        gi = gi.reshape(rows, a, m)
         twr3 = twr[:, :, None]
         twi3 = twi[:, :, None]
         return gr * twr3 - gi * twi3, gr * twi3 + gi * twr3  # [y1, j1, m]
 
-    hpr, hpi = partial_stageA(p_r, p_i, e1pr_ref[:], e1pi_ref[:],
-                              twpr_ref[:], twpi_ref[:])
-    hqr, hqi = partial_stageA(q_r, q_i, e1qr_ref[:], e1qi_ref[:],
-                              twqr_ref[:], twqi_ref[:])
-    hr = jnp.concatenate([hpr, hqr], axis=1)           # [y1, 128, m]
-    hi = jnp.concatenate([hpi, hqi], axis=1)
+    pr3 = p_r[0:half, :].reshape(b2, a * m)
+    pi3 = p_i[0:half, :].reshape(b2, a * m)
+    qr3 = q_r[0:half, :].reshape(b2, a * m)
+    qi3 = q_i[0:half, :].reshape(b2, a * m)
+    e2r = e2r_ref[:]
+    e2i = e2i_ref[:]
+    y2n = e2r.shape[0]
+    pnr = p_r[half, :][None, None, :]
+    pni = p_i[half, :][None, None, :]
 
-    # merged stage C: contract the 128-wide j1 axis with E2cat [y2, 128]
-    rr = _dot2(e2r_ref[:], hr)                         # [y2, y1, m]
-    ri = _dot2(e2r_ref[:], hi)
-    ir = _dot2(e2i_ref[:], hr)
-    ii = _dot2(e2i_ref[:], hi)
-    outr = rr - ii
-    outi = ri + ir
+    def stage_rest(e1p, e1q, twp, twq, alt, rows):
+        """stage A (both p/q halves) + merged stage C + the Nyquist
+        rank-1 update for `rows` y1 digits — the shared body of the
+        full and loop-chunked paths (bit-identical grouping)."""
+        hpr, hpi = partial_stageA(pr3, pi3, *e1p, *twp, rows)
+        hqr, hqi = partial_stageA(qr3, qi3, *e1q, *twq, rows)
+        hr = jnp.concatenate([hpr, hqr], axis=1)       # [y1, 128, m]
+        hi = jnp.concatenate([hpi, hqi], axis=1)
+        # merged stage C: contract the 128-wide j1 axis with E2cat
+        rr = _dot2(e2r, hr)                            # [y2, y1, m]
+        ri = _dot2(e2r, hi)
+        ir = _dot2(e2i, hr)
+        ii = _dot2(e2i, hi)
+        # Nyquist rank-1 update: + p[half] * (-1)^y, (-1)^y = alt[y1]
+        outr = rr - ii + alt[None, :, :] * pnr
+        outi = ri + ir + alt[None, :, :] * pni
+        return outr, outi
 
-    # Nyquist rank-1 update: + p[half] * (-1)^y, (-1)^y = alt[y1]
-    alt = alt_ref[:]                                    # [64, 1] scaled
-    outr = outr + alt[None, :, :] * p_r[half, :][None, None, :]
-    outi = outi + alt[None, :, :] * p_i[half, :][None, None, :]
+    ch = _chunks_for(ny)
+    if ch > 1 and _m_dig % ch == 0:
+        yc = _m_dig // ch
+
+        def body(_, carry):
+            (outr, outi, e1pr, e1pi, e1qr, e1qi, twpr, twpi, twqr,
+             twqi, alt) = carry
+            cr, ci = stage_rest(
+                (e1pr[:yc], e1pi[:yc]), (e1qr[:yc], e1qi[:yc]),
+                (twpr[:yc], twpi[:yc]), (twqr[:yc], twqi[:yc]),
+                alt[:yc], yc)
+            return (_shift_append(outr, cr), _shift_append(outi, ci),
+                    _rot(e1pr, yc), _rot(e1pi, yc), _rot(e1qr, yc),
+                    _rot(e1qi, yc), _rot(twpr, yc), _rot(twpi, yc),
+                    _rot(twqr, yc), _rot(twqi, yc), _rot(alt, yc))
+
+        z = jnp.zeros((y2n, _m_dig, m), jnp.float32)
+        outr, outi, *_ = jax.lax.fori_loop(
+            0, ch, body,
+            (z, z, e1pr_ref[:], e1pi_ref[:], e1qr_ref[:], e1qi_ref[:],
+             twpr_ref[:], twpi_ref[:], twqr_ref[:], twqi_ref[:],
+             alt_ref[:]))
+    else:
+        outr, outi = stage_rest(
+            (e1pr_ref[:], e1pi_ref[:]), (e1qr_ref[:], e1qi_ref[:]),
+            (twpr_ref[:], twpi_ref[:]), (twqr_ref[:], twqi_ref[:]),
+            alt_ref[:], _m_dig)
 
     # y = y1 + 64*y2: (y2, y1) flatten order
     return outr.reshape(ny, m), outi.reshape(ny, m)
@@ -1160,24 +1302,45 @@ def _kc_body(ny: int, xr, xi, far, fai, twr, twi, fbr, fbi):
     b = ny // a
     m = xr.shape[1]
     hk2 = b // 2 + 1
-    if xi is None:
-        s1r, s1i = _rmatmul_left(far, fai, xr.reshape(a, b * m))
-    else:
-        s1r, s1i = _cmatmul_left(far, fai, xr.reshape(a, b * m),
-                                 xi.reshape(a, b * m))
-    s1r = s1r.reshape(a, b, m)
-    s1i = s1i.reshape(a, b, m)
-    twr3 = twr[:, :, None]
-    twi3 = twi[:, :, None]
-    hr = s1r * twr3 - s1i * twi3
-    hi = s1r * twi3 + s1i * twr3
+    xr2 = xr.reshape(a, b * m)
+    xi2 = None if xi is None else xi.reshape(a, b * m)
 
-    rr = _dot2(fbr, hr)                         # [k2_half, k1, m]
-    ri = _dot2(fbr, hi)
-    ir = _dot2(fbi, hr)
-    ii = _dot2(fbi, hi)
-    yr = (rr - ii).reshape(hk2 * a, m)          # rows k = k1 + a*k2
-    yi = (ri + ir).reshape(hk2 * a, m)
+    def stage_rest(fr, fi_, tr, ti, rows):
+        if xi2 is None:
+            s1r, s1i = _rmatmul_left(fr, fi_, xr2)
+        else:
+            s1r, s1i = _cmatmul_left(fr, fi_, xr2, xi2)
+        s1r = s1r.reshape(rows, b, m)
+        s1i = s1i.reshape(rows, b, m)
+        tr3 = tr[:, :, None]
+        ti3 = ti[:, :, None]
+        hr = s1r * tr3 - s1i * ti3
+        hi = s1r * ti3 + s1i * tr3
+        rr = _dot2(fbr, hr)                     # [k2_half, k1, m]
+        ri = _dot2(fbr, hi)
+        ir = _dot2(fbi, hr)
+        ii = _dot2(fbi, hi)
+        return rr - ii, ri + ir
+
+    ch = _chunks_for(ny)
+    if ch > 1 and a % ch == 0:
+        ac = a // ch
+
+        def body(_, carry):
+            yr, yi, fr_c, fi_c, tr_c, ti_c = carry
+            cr, ci = stage_rest(fr_c[:ac], fi_c[:ac], tr_c[:ac],
+                                ti_c[:ac], ac)
+            return (_shift_append(yr, cr), _shift_append(yi, ci),
+                    _rot(fr_c, ac), _rot(fi_c, ac), _rot(tr_c, ac),
+                    _rot(ti_c, ac))
+
+        z = jnp.zeros((hk2, a, m), jnp.float32)
+        yr3, yi3, *_ = jax.lax.fori_loop(
+            0, ch, body, (z, z, far, fai, twr, twi))
+    else:
+        yr3, yi3 = stage_rest(far, fai, twr, twi, a)
+    yr = yr3.reshape(hk2 * a, m)                # rows k = k1 + a*k2
+    yi = yi3.reshape(hk2 * a, m)
     # keep rows [0, ny/2]: the (b/2+1) k2-blocks cover k up to
     # a*(b/2+1)-1 = ny/2 + 63; the slice keeps the first hny rows
     return yr[0:ny // 2 + 1, :], yi[0:ny // 2 + 1, :]
@@ -1475,7 +1638,14 @@ def fusetail_on() -> bool:
     return FUSETAIL not in ("", "0")
 
 
-def fusekx_on() -> bool:
+def fusekx_on(nx: int = 0) -> bool:
+    """KX+VISC fusion gate. Size-capped: at 8192^2 the fused kernel's
+    12 full-plane live set (6 inputs + 2 axpy operands + 4 outputs,
+    4 MB each at BLOCK=128, double-buffered) measures 124.9 MB of
+    scoped VMEM against the 128 MB physical core — the unfused
+    KX + row-blocked VISC pair fits. XFB_FUSEKX_MAX overrides."""
+    if nx and nx > int(_os.environ.get("XFB_FUSEKX_MAX", "4096")):
+        return False
     if FUSEKX == "auto":
         return True
     return FUSEKX not in ("", "0")
@@ -1550,7 +1720,7 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
                          memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((nx, hny), jnp.float32)
     if tail is not None:
-        assert fusekx_on(), "tail fusion requires the fused KX kernel"
+        assert fusekx_on(nx), "tail fusion requires the fused KX kernel"
         *tail_planes, c = tail
         ins = (fr, fi, lap, mask, zr, zi, *ka_tables, *tail_planes)
         specs = [x_in] * 6 + tab_spec_a + [x_in] * 8
@@ -1564,7 +1734,7 @@ def forward_tail(fr, fi, lap, mask, zr, zi, nu: float, grid_shape,
             interpret=_interpret(),
             compiler_params=_compiler_params(),
         )(*ins)
-    if fusekx_on():
+    if fusekx_on(nx):
         if axpy is None:
             ins = (fr, fi, lap, mask, zr, zi, *ka_tables)
             n_out, coef = 2, None

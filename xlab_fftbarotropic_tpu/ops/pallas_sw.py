@@ -242,6 +242,46 @@ def _ka_sw_kernel(n: int, zr_ref, zi_ref, dr_ref, di_ref, er_ref, ei_ref,
     owi_ref[0] = yi.T.astype(owi_ref.dtype)
 
 
+def _ka_sw2_kernel(n: int, p1r_ref, p1i_ref, p2r_ref, p2i_ref, rlap_ref,
+                   a1r_ref, a1i_ref, b1r_ref, b1i_ref, e1_ref,
+                   a2r_ref, a2i_ref, b2r_ref, b2i_ref, e2_ref,
+                   far_ref, fai_ref, twr_ref, twi_ref, fbr_ref, fbi_ref,
+                   owr_ref, owi_ref):
+    """Two-field split of _ka_sw_kernel (x = diag1*P1 + diag2*P2): at
+    8192^2 the 7-input KA_SW kernel's windows + its intrinsic ~28 MB of
+    register spill exceed the 128 MB core VMEM however the scoped limit
+    is tuned (r5 ledger); two calls of 4-5 inputs each fit. Pair A
+    (u, v): P1 = Z, P2 = Dv; pair B (zeta, eta): P1 = Z, P2 = E with
+    diag2 degenerate to the eta pairing scale."""
+    m = p1r_ref.shape[1]
+    rlap = rlap_ref[:]
+
+    def diag(ar, ai, br, bi, e, xr, xi):
+        rl = 1.0 + e * (rlap - 1.0)          # rlap^e, e in {0, 1}
+        t1r = xr * ar - xi * ai
+        t1i = xr * ai + xi * ar
+        return (t1r * br - t1i * bi) * rl, (t1r * bi + t1i * br) * rl
+
+    x1r, x1i = diag(a1r_ref[0], a1i_ref[0], b1r_ref[0], b1i_ref[0],
+                    e1_ref[0], p1r_ref[:], p1i_ref[:])
+    x2r, x2i = diag(a2r_ref[0], a2i_ref[0], b2r_ref[0], b2i_ref[0],
+                    e2_ref[0], p2r_ref[:], p2i_ref[:])
+    yr, yi = _four_step(x1r + x2r, x1i + x2i, n, m, far_ref[:],
+                        fai_ref[:], twr_ref[:], twi_ref[:], fbr_ref[:],
+                        fbi_ref[:])
+    owr_ref[0] = yr.T.astype(owr_ref.dtype)
+    owi_ref[0] = yi.T.astype(owi_ref.dtype)
+
+
+def ka_split_on(nx: int) -> bool:
+    """XFB_SW_KA_SPLIT: auto (default: split exactly when nx exceeds
+    4096 — the VMEM geometry above) | 0 | 1."""
+    v = _os.environ.get("XFB_SW_KA_SPLIT", "auto")
+    if v == "auto":
+        return nx > 4096
+    return v not in ("", "0")
+
+
 def _sw_factors(kx, ky, nx, hny, eta_scale):
     """Stacked per-field diagonal factors for (u, v, zeta, eta_scale*eta)."""
     one_r = jnp.ones((nx, 1), jnp.float32)
@@ -306,6 +346,67 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
     tables = [jnp.asarray(t) for t in _ka_tables(nx, forward=False)]
     factors = _sw_factors(kx, ky, nx, hny, eta_scale)
 
+    st = store if store is not None else store_dtype()
+    tab_spec = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
+                             memory_space=pltpu.VMEM) for t in tables]
+
+    if ka_split_on(nx):
+        # two 2-field calls (see _ka_sw2_kernel note): pair A (u, v)
+        # reads (Z, Dv, rlap); pair B (zeta, eta) reads (Z, E) with
+        # diag2 degenerate to the eta pairing scale
+        (a1r, a1i, b1r, b1i, e1, a2r, a2i, b2r, b2i, e2, c3) = factors
+        one_r = jnp.ones((2, nx, 1), jnp.float32)
+        zero_r = jnp.zeros((2, nx, 1), jnp.float32)
+        one_c = jnp.ones((1, 1, hny), jnp.float32)
+        zero_c = jnp.zeros((1, 1, hny), jnp.float32)
+        facA = tuple(f[0:2] for f in
+                     (a1r, a1i, b1r, b1i, e1, a2r, a2i, b2r, b2i, e2))
+        facB = (a1r[2:4], a1i[2:4], b1r[2:4], b1i[2:4], e1[2:4],
+                one_r, zero_r,
+                jnp.concatenate([zero_c, c3[3] * one_c]),
+                jnp.concatenate([zero_c, zero_c]),
+                jnp.zeros((2, 1, 1), jnp.float32))
+
+        def ka2(p1r, p1i, p2r, p2i, fac):
+            grid, fm = _fgrid(2, pl.cdiv(hny, BLOCK), KA_FMINOR)
+            spec_in = pl.BlockSpec((nx, BLOCK),
+                                   lambda a, b: (0, fm(a, b)[1]),
+                                   memory_space=pltpu.VMEM)
+            rvec = pl.BlockSpec((1, nx, 1),
+                                lambda a, b: (fm(a, b)[0], 0, 0),
+                                memory_space=pltpu.VMEM)
+            cvec = pl.BlockSpec(
+                (1, 1, BLOCK),
+                lambda a, b: (fm(a, b)[0], 0, fm(a, b)[1]),
+                memory_space=pltpu.VMEM)
+            svec = pl.BlockSpec((1, 1, 1),
+                                lambda a, b: (fm(a, b)[0], 0, 0),
+                                memory_space=pltpu.VMEM)
+            fac_specs = [rvec, rvec, cvec, cvec, svec,
+                         rvec, rvec, cvec, cvec, svec]
+            ow_spec = pl.BlockSpec(
+                (1, BLOCK, nx),
+                lambda a, b: (fm(a, b)[0], fm(a, b)[1], 0),
+                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                functools.partial(_ka_sw2_kernel, nx),
+                grid=grid,
+                in_specs=[spec_in] * 5 + fac_specs + tab_spec,
+                out_specs=(ow_spec, ow_spec),
+                out_shape=(jax.ShapeDtypeStruct((2, hny, nx), st),
+                           jax.ShapeDtypeStruct((2, hny, nx), st)),
+                interpret=_interpret(),
+                compiler_params=_compiler_params(),
+            )(p1r, p1i, p2r, p2i, rlap, *fac, *tables)
+
+        wrA, wiA = ka2(zr, zi, dr, di, facA)
+        wrB, wiB = ka2(zr, zi, er, ei, facB)
+        u, v = _kb_call_stacked(wrA, wiA, 0, 1, ny, scale,
+                                transpose_out=not YFIRST, store=st)
+        zeta, eta = _kb_call_stacked(wrB, wiB, 0, 1, ny, scale,
+                                     transpose_out=not YFIRST, store=st)
+        return u, v, zeta, eta
+
     grid, fm = _fgrid(4, pl.cdiv(hny, BLOCK), KA_FMINOR)
     spec_in = pl.BlockSpec((nx, BLOCK), lambda a, b: (0, fm(a, b)[1]),
                            memory_space=pltpu.VMEM)
@@ -318,12 +419,9 @@ def inverse_quad_planes(zr, zi, dr, di, er, ei, kx, ky, rlap, grid_shape,
                         memory_space=pltpu.VMEM)
     fac_specs = [rvec, rvec, cvec, cvec, svec,
                  rvec, rvec, cvec, cvec, svec, svec]
-    tab_spec = [pl.BlockSpec(t.shape, lambda a, b: (0, 0),
-                             memory_space=pltpu.VMEM) for t in tables]
     ow_spec = pl.BlockSpec((1, BLOCK, nx),
                            lambda a, b: (fm(a, b)[0], fm(a, b)[1], 0),
                            memory_space=pltpu.VMEM)
-    st = store if store is not None else store_dtype()
     wr, wi = pl.pallas_call(
         functools.partial(_ka_sw_kernel, nx),
         grid=grid,
@@ -767,11 +865,17 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
 
     # --- COMBINE ---
     has_src = src_planes is not None
-    stk = pl.BlockSpec((5, BLOCK, hny), lambda i: (0, i, 0),
+    # row-block height: full-hny windows are ~10 MB each at 8192^2 and
+    # COMBINE reads/writes up to ~20 of them — 64 rows (sublanes need
+    # only 8-divisibility) halves every window so the kernel fits the
+    # 128 MB core VMEM there (r5 8192^2 ledger); 4096^2 and below keep
+    # the measured BLOCK=128 geometry.
+    cb = BLOCK if nx <= 4096 else 64
+    stk = pl.BlockSpec((5, cb, hny), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((BLOCK, hny), lambda i: (i, 0),
+    row = pl.BlockSpec((cb, hny), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    kx_spec = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+    kx_spec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     ky_spec = pl.BlockSpec((1, hny), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -791,14 +895,14 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         # ETDRK4 stage fusion: stage = z0 + scale * (Q @ tendency)
         # (models/etdrk4.py; _combine_mv_kernel note)
         z0, qtab, scale, emit_tend = mv_axpy
-        q_spec = pl.BlockSpec((3, 3, BLOCK, hny), lambda i: (0, 0, i, 0),
+        q_spec = pl.BlockSpec((3, 3, cb, hny), lambda i: (0, 0, i, 0),
                               memory_space=pltpu.VMEM)
         n_out = 12 if emit_tend else 6
         outs = pl.pallas_call(
             functools.partial(_combine_mv_kernel, float(nu), float(H),
                               has_src, split_params, float(scale),
                               bool(emit_tend)),
-            grid=(pl.cdiv(nx, BLOCK),),
+            grid=(pl.cdiv(nx, cb),),
             in_specs=specs + [q_spec] + [row] * 6,
             out_specs=(row,) * n_out,
             out_shape=(plane,) * n_out,
@@ -812,7 +916,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
         return pl.pallas_call(
             functools.partial(_combine_kernel, float(nu), float(H),
                               has_src, split_params),
-            grid=(pl.cdiv(nx, BLOCK),),
+            grid=(pl.cdiv(nx, cb),),
             in_specs=specs,
             out_specs=(row,) * 6,
             out_shape=(plane,) * 6,
@@ -823,7 +927,7 @@ def forward_tendencies(u, v, zeta, eta, state_planes, src_planes,
     outs = pl.pallas_call(
         functools.partial(_combine_axpy_kernel, float(nu), float(H),
                           has_src, split_params, float(coef)),
-        grid=(pl.cdiv(nx, BLOCK),),
+        grid=(pl.cdiv(nx, cb),),
         in_specs=specs + [row] * 6,
         out_specs=(row,) * 12,
         out_shape=(plane,) * 12,
@@ -850,11 +954,12 @@ def plane_axpy(s, r, coef: float):
     """out_p = s_p + coef * r_p over tuples of same-shape planes."""
     n = len(s)
     nx = s[0].shape[0]
-    row = pl.BlockSpec((BLOCK, s[0].shape[1]), lambda i: (i, 0),
+    rb = BLOCK if s[0].shape[1] <= 2560 else 64   # VMEM note (COMBINE)
+    row = pl.BlockSpec((rb, s[0].shape[1]), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_axpy_kernel, float(coef), n),
-        grid=(pl.cdiv(nx, BLOCK),),
+        grid=(pl.cdiv(nx, rb),),
         in_specs=[row] * (2 * n),
         out_specs=(row,) * n,
         out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in s),
@@ -880,11 +985,12 @@ def plane_rk4_combine(s0, r1, r2, r3, r4, c: float):
     the RK4 tail (main.cpp:309-312) over tuples of same-shape planes."""
     n = len(s0)
     nx = s0[0].shape[0]
-    row = pl.BlockSpec((BLOCK, s0[0].shape[1]), lambda i: (i, 0),
+    rb = BLOCK if s0[0].shape[1] <= 2560 else 64  # VMEM note (COMBINE)
+    row = pl.BlockSpec((rb, s0[0].shape[1]), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_rk4_combine_kernel, float(c), n),
-        grid=(pl.cdiv(nx, BLOCK),),
+        grid=(pl.cdiv(nx, rb),),
         in_specs=[row] * (5 * n),
         out_specs=(row,) * n,
         out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in s0),

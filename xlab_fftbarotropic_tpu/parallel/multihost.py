@@ -107,10 +107,39 @@ def gather_to_host(x):
     if isinstance(x, np.ndarray):
         return x
     if getattr(x, "is_fully_addressable", True):
+        if np.issubdtype(np.dtype(getattr(x, "dtype", np.float32)),
+                         np.complexfloating):
+            # complex64 device->host transfers are UNIMPLEMENTED over
+            # the axon tunnel even chunked (measured 2026-08-20 on the
+            # 4096^2 SW checkpoint pack); fetch re/im float planes and
+            # recombine on host — identical result on every backend
+            import jax
+            import jax.numpy as jnp
+            re = _chunked_fetch(jax.jit(jnp.real)(x))
+            im = _chunked_fetch(jax.jit(jnp.imag)(x))
+            return (re + 1j * im).astype(np.dtype(x.dtype))
         return _chunked_fetch(x)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def device_put_spectral(a):
+    """jnp.asarray for possibly-complex HOST arrays, spelled as float32
+    re/im uploads + an on-device combine: complex64 host->device
+    transfers are UNIMPLEMENTED over remote-device transports like the
+    axon tunnel (measured 2026-08-20), and the float spelling is
+    equivalent everywhere. Checkpoint resume paths route through this."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(a)
+    if not np.iscomplexobj(a):
+        return jnp.asarray(a)
+    return jax.jit(jax.lax.complex)(
+        jnp.asarray(np.ascontiguousarray(a.real)),
+        jnp.asarray(np.ascontiguousarray(a.imag)))
 
 
 def _fetch_chunk_bytes() -> int:

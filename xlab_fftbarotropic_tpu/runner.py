@@ -31,6 +31,7 @@ from .forcing.source import SourceReader, make_reader
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .io.fieldio import FieldRecorder, Manifest, read_field
 from .models.barotropic import BarotropicModel
+from .parallel.multihost import device_put_spectral as _put
 from .parallel.multihost import gather_to_host as _np
 from .parallel.multihost import is_primary
 
@@ -115,7 +116,7 @@ class _BarotropicAdapter:
     def unpack(self, packed):
         if hasattr(self.model, "shard_spectral"):
             return self.model.shard_spectral(packed)
-        return jnp.asarray(packed)
+        return _put(packed)
 
 
 class _ShallowWaterAdapter:
@@ -167,7 +168,7 @@ class _ShallowWaterAdapter:
 
     def unpack(self, packed):
         from .models.shallow_water import SWState
-        st = SWState(*(jnp.asarray(a) for a in packed))
+        st = SWState(*(_put(a) for a in packed))
         if hasattr(self.model, "shard_state"):
             return self.model.shard_state(st)
         return st
@@ -219,7 +220,7 @@ class _TracerAdapter:
 
     def unpack(self, packed):
         from .models.tracer import TracerState
-        st = TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+        st = TracerState(_put(packed[0]), _put(packed[1]))
         if hasattr(self.model, "shard_state"):
             return self.model.shard_state(st)
         return st
@@ -289,12 +290,12 @@ class _EnsembleAdapter:
         packed = np.asarray(packed)
         inner = self.model.inner.__class__.__name__
         if inner == "BarotropicModel":
-            return jnp.asarray(packed)
+            return _put(packed)
         if inner == "ShallowWaterModel":
             from .models.shallow_water import SWState
-            return SWState(*(jnp.asarray(a) for a in packed))
+            return SWState(*(_put(a) for a in packed))
         from .models.tracer import TracerState
-        return TracerState(jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+        return TracerState(_put(packed[0]), _put(packed[1]))
 
 
 class _FDAdapter:
