@@ -214,7 +214,7 @@ def cmd_split3(nx: int):
          factors=pf._split3(nx))
 
 
-def cmd_n8192(model_kind: str):
+def cmd_n8192(model_kind: str, nx: int = 8192):
     import os
     import jax
     import jax.numpy as jnp
@@ -222,7 +222,7 @@ def cmd_n8192(model_kind: str):
     from xlab_fftbarotropic_tpu.ic import makefields
 
     warmup()
-    nx, steps = 8192, 10
+    steps = 10
 
     def build(backend):
         cfg = ModelConfig(nx=nx, ny=nx, fft_backend=backend)
@@ -255,7 +255,7 @@ def cmd_n8192(model_kind: str):
         t_b = time.perf_counter()
         m, s, src, csum = build(backend)
         ms, _, c = seg_time(m, s, src, steps, csum)
-        emit(probe=f"{model_kind}-8192-{backend}", nx=nx,
+        emit(probe=f"{model_kind}-{nx}-{backend}", nx=nx,
              block=int(os.environ.get("XFB_PALLAS_BLOCK", "128")),
              ms_per_step=round(ms, 2),
              gp_per_s=round(nx * nx / ms * 1e3, 1),
@@ -280,7 +280,7 @@ def main():
     elif args.cmd == "split3":
         cmd_split3(args.nx)
     elif args.cmd == "n8192":
-        cmd_n8192("bt")
+        cmd_n8192("bt", args.nx if args.nx != 4096 else 8192)
     elif args.cmd == "n8192-sw":
         cmd_n8192("sw")
     elif args.cmd == "n8192-tracer":

@@ -159,11 +159,18 @@ def test_auto_gate_is_range_based(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert bt.resolve_fft_backend_name("auto", (4096, 4096)) == "pallas"
     assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "xla"
-    # default cap: 8192 stays on XLA (compile-helper OOM, BASELINE.md)
-    assert bt.resolve_fft_backend_name("auto", (8192, 8192)) == "xla"
-    # env override lifts the cap without a code change
-    monkeypatch.setenv("XFB_PALLAS_MAX", "8192")
+    # fp32 caps (r5 ledger): barotropic measured 2.0x XLA at 8192^2 ->
+    # cap 8192; SW/tracer fp32 kernels exceed core VMEM there
+    # (150.9/133.1 MB vs 128, measured rejections) -> cap 4096
     assert bt.resolve_fft_backend_name("auto", (8192, 8192)) == "pallas"
+    assert bt.resolve_fft_backend_name(
+        "auto", (8192, 8192), family="sw") == "xla"
+    assert bt.resolve_fft_backend_name(
+        "auto", (8192, 8192), family="tracer") == "xla"
+    assert bt.resolve_fft_backend_name("auto", (16384, 16384)) == "xla"
+    # env override lifts the cap without a code change
+    monkeypatch.setenv("XFB_PALLAS_MAX", "16384")
+    assert bt.resolve_fft_backend_name("auto", (16384, 16384)) == "pallas"
     monkeypatch.setenv("XFB_PALLAS_MIN", "2048")
     assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "pallas"
     # non-square and non-power-of-two grids never take the gate
@@ -191,6 +198,11 @@ def test_auto_gate_floor_drops_in_fast_mode(monkeypatch):
     assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "pallas"
     assert bt.resolve_fft_backend_name("auto", (1024, 1024)) == "pallas"
     assert bt.resolve_fft_backend_name("auto", (512, 512)) == "xla"
+    # fast-mode 8192^2 measured for all three families (r5 ledger:
+    # 3.96x/4.07x/4.34x XLA) -> cap 8192 everywhere in fast mode
+    for fam in ("barotropic", "sw", "tracer"):
+        assert bt.resolve_fft_backend_name(
+            "auto", (8192, 8192), family=fam) == "pallas"
     # explicit floor still wins over the fast default
     monkeypatch.setenv("XFB_PALLAS_MIN", "4096")
     assert bt.resolve_fft_backend_name("auto", (2048, 2048)) == "xla"

@@ -44,9 +44,10 @@ from ..ops.spectral import SpectralTables
 # PLANE_STEPPER_MAX = 8192 since round 5: the loop-chunked KB/KC
 # bodies (+ split KA_SW and narrow COMBINE rows for SW) fit the
 # 8192^2 compile that OOM-SIGKILLed the AOT helper in r2-r4, measured
-# 3.96x/4.07x the XLA core in fast mode (r5 ledger). Whether pallas is
-# actually SELECTED at a size is the resolve_fft_backend_name gate's
-# call (fp32 and tracer caps stay 4096 pending measurement).
+# 3.96x/4.07x/4.34x the XLA core in fast mode (bt/SW/tracer) and
+# 2.00x in fp32 barotropic (r5 ledger). Whether pallas is actually
+# SELECTED at a size is the resolve_fft_backend_name gate's call
+# (fp32 SW/tracer capped at 4096: measured VMEM rejections).
 PLANE_STEPPER = True
 PLANE_STEPPER_MAX = 8192
 
@@ -78,10 +79,13 @@ def resolve_fft_backend_name(name: str, grid_shape=None,
     stepper) but loses to XLA's FFT at 2048^2 fp32 (0.90x); in fast
     mode the floor drops to 1024^2 (1.32x there). The 8192^2 ceiling
     lifted in round 5 (loop-chunked kernel bodies + split KA_SW +
-    narrow COMBINE rows): measured 3.96x/4.07x the XLA core for
-    barotropic/SW in fast mode, so those families' fast-mode cap is
-    8192. fp32-HIGHEST at 8192^2 and the tracer family's 8192^2 KA6
-    kernel are unprobed — their caps stay 4096 pending measurement.
+    narrow COMBINE rows): measured vs the XLA core there — fast mode
+    3.96x bt / 4.07x SW / 4.34x tracer, fp32-HIGHEST 2.00x bt — so
+    those caps are 8192. fp32 SW and fp32 tracer at 8192^2 REJECTED
+    on measurement: the HIGHEST decomposition's extra operand buffers
+    push the KA_SW pair (150.9 MB) and the 6-field tracer KA6 kernel
+    (133.1 MB) past the 128 MB core VMEM — their caps stay 4096
+    (r5 ledger, 2026-08-21).
     """
     if name != "auto":
         return name
@@ -96,8 +100,11 @@ def resolve_fft_backend_name(name: str, grid_shape=None,
         mm = pf.MM_MODE
     fast = mm in ("bf16", "default")
     lo = int(os.environ.get("XFB_PALLAS_MIN", 1024 if fast else 4096))
-    hi_default = 8192 if fast and family in ("barotropic", "sw") \
-        else 4096
+    if fast:
+        hi_default = 8192 if family in ("barotropic", "sw",
+                                        "tracer") else 4096
+    else:
+        hi_default = 8192 if family == "barotropic" else 4096
     hi = int(os.environ.get("XFB_PALLAS_MAX", hi_default))
     pallas_ok = (nx == ny and lo <= nx <= hi and nx & (nx - 1) == 0)
     if pallas_ok and jax.default_backend() == "tpu":
