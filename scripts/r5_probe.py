@@ -250,11 +250,18 @@ def cmd_n8192(model_kind: str, nx: int = 8192):
         return m, s, src, (lambda o: float(jnp.max(jnp.abs(o))))
 
     # XLA control first — if the planes compile OOM-kills the remote
-    # helper, the control number is already out
+    # helper, the control number is already out. At 16384^2 the XLA
+    # core's HBM footprint may itself not fit the chip: a failed arm
+    # emits an error line and the next arm still runs.
     for backend in ("xla", "pallas"):
         t_b = time.perf_counter()
-        m, s, src, csum = build(backend)
-        ms, _, c = seg_time(m, s, src, steps, csum)
+        try:
+            m, s, src, csum = build(backend)
+            ms, _, c = seg_time(m, s, src, steps, csum)
+        except Exception as e:  # noqa: BLE001 — probe must survive
+            emit(probe=f"{model_kind}-{nx}-{backend}", nx=nx,
+                 error=f"{type(e).__name__}: {str(e)[:400]}")
+            continue
         emit(probe=f"{model_kind}-{nx}-{backend}", nx=nx,
              block=int(os.environ.get("XFB_PALLAS_BLOCK", "128")),
              ms_per_step=round(ms, 2),
