@@ -271,11 +271,52 @@ def cmd_n8192(model_kind: str, nx: int = 8192):
              checksum=c)
 
 
+def cmd_soak8192():
+    """1000-step RK4-planes soak at the 8192² frontier (the r4 ledger
+    ran 2000 steps at 4096²): stability + the conservation scalars'
+    drift class at the biggest grid."""
+    import jax
+    import jax.numpy as jnp
+    from xlab_fftbarotropic_tpu.config import ModelConfig
+    from xlab_fftbarotropic_tpu.ic import makefields
+    from xlab_fftbarotropic_tpu.models.barotropic import BarotropicModel
+
+    warmup()
+    nx = 8192
+    cfg = ModelConfig(nx=nx, ny=nx, fft_backend="pallas")
+    m = BarotropicModel.build(cfg)
+    z = m.init_state(makefields.gaussian(cfg))
+    src = jnp.zeros(cfg.grid_shape, jnp.float32)
+
+    @jax.jit
+    def scalars(zh):
+        # mean enstrophy in spectral form (Parseval over the
+        # half-spectrum with the Hermitian double-count)
+        nx_, hny = zh.shape
+        w = jnp.where((jnp.arange(hny) == 0)
+                      | (jnp.arange(hny) == hny - 1), 1.0, 2.0)
+        ens = jnp.sum(w[None, :] * jnp.abs(zh) ** 2) / (nx_ * nx_) ** 2
+        return jnp.max(jnp.abs(zh)), ens
+
+    mx0, e0 = (float(v) for v in scalars(z))
+    t0 = time.perf_counter()
+    for seg in range(10):
+        z = m.segment(z, src, 100)
+        mx, e = (float(v) for v in scalars(z))
+        emit(probe="bt-8192-soak", steps=(seg + 1) * 100,
+             max_abs=mx, enstrophy=e,
+             finite=bool(mx == mx and mx != float("inf")))
+    dt_w = time.perf_counter() - t0
+    emit(probe="bt-8192-soak-final", steps=1000,
+         ms_per_step=round(dt_w, 1),
+         enstrophy_ratio_vs_t0=e / e0, max_ratio_vs_t0=mx / mx0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["bt-etd", "sw-warm", "sw-warm2",
                                     "split3", "n8192", "n8192-sw",
-                                    "n8192-tracer"])
+                                    "n8192-tracer", "soak8192"])
     ap.add_argument("--nx", type=int, default=4096)
     args = ap.parse_args()
     if args.cmd == "bt-etd":
@@ -292,6 +333,8 @@ def main():
         cmd_n8192("sw")
     elif args.cmd == "n8192-tracer":
         cmd_n8192("tracer")
+    elif args.cmd == "soak8192":
+        cmd_soak8192()
 
 
 if __name__ == "__main__":
