@@ -295,7 +295,8 @@ def cmd_soak8192():
         nx_, hny = zh.shape
         w = jnp.where((jnp.arange(hny) == 0)
                       | (jnp.arange(hny) == hny - 1), 1.0, 2.0)
-        ens = jnp.sum(w[None, :] * jnp.abs(zh) ** 2) / (nx_ * nx_) ** 2
+        norm = (float(nx_) * float(nx_)) ** 2     # 8192^4 overflows i32
+        ens = jnp.sum(w[None, :] * jnp.abs(zh) ** 2) / norm
         return jnp.max(jnp.abs(zh)), ens
 
     mx0, e0 = (float(v) for v in scalars(z))
