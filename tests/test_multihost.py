@@ -108,3 +108,29 @@ def test_two_process_distributed_smoke(tmp_path):
     for rank, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"rank {rank} failed:\n{err[-3000:]}"
         assert f"RANK{rank}_OK" in out
+
+
+def test_complex_transfer_helpers_roundtrip():
+    """gather_to_host fetches COMPLEX arrays as re/im float planes and
+    device_put_spectral uploads them the same way (complex64 transfers
+    are UNIMPLEMENTED over remote-device transports like the axon
+    tunnel, BASELINE.md r5) — the float spelling must be an exact
+    roundtrip on every backend, and real arrays must pass through
+    untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    z = (rng.standard_normal((16, 9)) +
+         1j * rng.standard_normal((16, 9))).astype(np.complex64)
+
+    dev = multihost.device_put_spectral(z)
+    assert dev.dtype == jnp.complex64
+    back = multihost.gather_to_host(dev)
+    assert back.dtype == np.complex64
+    assert np.array_equal(back, z)
+
+    r = rng.standard_normal((8, 8)).astype(np.float32)
+    dev_r = multihost.device_put_spectral(r)
+    assert dev_r.dtype == jnp.float32
+    assert np.array_equal(multihost.gather_to_host(dev_r), r)
