@@ -383,6 +383,19 @@ def test_cache_disabled_by_env(tmp_path, monkeypatch):
     assert list(tmp_path.iterdir()) == []
 
 
+def test_bench_cache_key_is_stable():
+    """Pin the cache key `bench.py`'s sw-etdrk4 family resolves for the
+    default 4096^2 / dt=7.5 configuration. The end-of-round bench budget
+    depends on the pre-built `output/etd_cache/sw_etd_<key>.npy` staying
+    WARM (cold host derivation costs ~300 s, BASELINE.md 2026-08-21); a
+    change to the key fields, their serialization, or the key version
+    silently cold-starts it. If this pin fails on a DELIBERATE numerics/
+    key change, rebuild the cache for the new key (the prebuild recipe in
+    BASELINE.md) and update the hash here."""
+    cfg = ModelConfig(nx=4096, ny=4096, dt=7.5, time_scheme="etdrk4")
+    assert etd.tables_cache_key(cfg, 7.5, kind="sw") == "78d5353e25b4bfb7"
+
+
 # ---------------------------------------------------------------------------
 # advective-CFL guard
 # ---------------------------------------------------------------------------
